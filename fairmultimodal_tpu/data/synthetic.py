@@ -1,0 +1,236 @@
+"""Synthetic MIMIC-shaped data for tests and CPU smoke runs.
+
+Two levels:
+
+- :func:`make_common_frames` fabricates the two cohort tables the training
+  scripts consume (``final_structured_common.csv`` /
+  ``final_unstructured_common.csv`` column shapes, ``00_data.py:535-536``)
+  with learnable label structure, so end-to-end training tests can assert
+  AUROC > chance on CPU in seconds.
+- :func:`write_raw_mimic` fabricates tiny gzipped raw MIMIC-III tables
+  (ADMISSIONS, PATIENTS, ICUSTAYS, CHARTEVENTS, LABEVENTS, NOTEEVENTS, ...)
+  so the ETL (``fairmultimodal_tpu.data.etl``) can be golden-tested without
+  PHI-bearing source data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["make_common_frames", "write_raw_mimic"]
+
+_ETHNICITIES = [
+    "WHITE", "BLACK/AFRICAN AMERICAN", "HISPANIC OR LATINO", "ASIAN",
+    "WHITE - RUSSIAN", "OTHER", "UNKNOWN/NOT SPECIFIED",
+]
+_INSURANCES = ["Medicare", "Private", "Medicaid", "Self Pay", "Government"]
+_WORDS = (
+    "patient stable intubated sedated ventilator weaning afebrile lungs clear "
+    "bilateral infiltrates sepsis pressors lasix cardiac failure renal improving "
+    "deteriorating family meeting comfort care extubated alert oriented pain "
+    "controlled discharge planning"
+).split()
+
+
+def make_common_frames(
+    n_patients: int = 240,
+    n_lab_features: int = 32,
+    n_note_chunks: int = 3,
+    seed: int = 0,
+) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Fabricate (structured_common, unstructured_common) DataFrames.
+
+    Labels are generated from a linear signal over a few lab columns plus a
+    demographic-correlated noise term, so models trained on this data reach
+    AUROC well above 0.5 — the end-to-end smoke tests assert that.
+    """
+    rng = np.random.default_rng(seed)
+    subject_id = np.arange(10_000, 10_000 + n_patients)
+    hadm_id = subject_id + 50_000
+
+    age = rng.integers(15, 91, n_patients)
+    gender = rng.choice(["M", "F"], n_patients)
+    ethnicity = rng.choice(_ETHNICITIES, n_patients)
+    insurance = rng.choice(_INSURANCES, n_patients)
+
+    labs = rng.normal(0, 1, (n_patients, n_lab_features)).astype(np.float32)
+    # Learnable signal on the first few lab columns.
+    w = np.zeros(n_lab_features)
+    w[:4] = [1.5, -1.2, 0.9, 0.7]
+    logit_mort = labs @ w - 1.2 + 0.3 * rng.normal(size=n_patients)
+    logit_los = labs @ np.roll(w, 4) - 0.4 + 0.3 * rng.normal(size=n_patients)
+    logit_vent = labs @ np.roll(w, 8) + 0.8 + 0.3 * rng.normal(size=n_patients)
+    mort = (1 / (1 + np.exp(-logit_mort)) > 0.5).astype(int)
+    los = (1 / (1 + np.exp(-logit_los)) > 0.5).astype(int)
+    vent = (1 / (1 + np.exp(-logit_vent)) > 0.5).astype(int)
+
+    lab_cols = {f"lab_t{50800 + i}": labs[:, i] for i in range(n_lab_features)}
+    structured = pd.DataFrame({
+        "subject_id": subject_id,
+        "hadm_id": hadm_id,
+        "age": age,
+        "GENDER": gender,
+        "ETHNICITY": ethnicity,
+        "INSURANCE": insurance,
+        "gender": np.where(gender == "M", "male", "female"),
+        "ethnicity_category": ethnicity,
+        "insurance_category": insurance,
+        "age_bucket": pd.cut(age, [14, 29, 49, 69, 89, 200],
+                             labels=["15-29", "30-49", "50-69", "70-89", "Other"]).astype(str),
+        "icu_los": rng.uniform(20, 400, n_patients),
+        "short_term_mortality": mort,
+        "los_binary": los,
+        "mechanical_ventilation": vent,
+        **lab_cols,
+    })
+
+    note_cols = {}
+    for k in range(n_note_chunks):
+        texts = []
+        for i in range(n_patients):
+            if k > 0 and rng.random() < 0.4:
+                texts.append(np.nan)  # ragged chunk counts
+                continue
+            n_words = rng.integers(8, 40)
+            words = list(rng.choice(_WORDS, n_words))
+            # Inject a weak text signal for ventilation.
+            if vent[i] and rng.random() < 0.8:
+                words += ["intubated", "ventilator"]
+            texts.append(" ".join(words))
+        note_cols[f"note_chunk_{k + 1}"] = texts
+    # A handful of patients with no notes at all (zero-vector path,
+    # 10_FAME.py:153-154).
+    for i in range(0, n_patients, 37):
+        for k in range(n_note_chunks):
+            note_cols[f"note_chunk_{k + 1}"][i] = np.nan
+
+    unstructured = pd.DataFrame({
+        "subject_id": subject_id,
+        "hadm_id": hadm_id,
+        "short_term_mortality": mort,
+        "los_binary": los,
+        "mechanical_ventilation": vent,
+        "age": age,
+        **note_cols,
+    })
+    return structured, unstructured
+
+
+def write_raw_mimic(out_dir: str, n_subjects: int = 40, seed: int = 0) -> None:
+    """Write tiny gzipped raw MIMIC-III-shaped tables into ``out_dir``.
+
+    Column names and dtypes match what ``data/etl.py`` (and the reference
+    ``00_data.py``) read; values are synthetic.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    sid = np.arange(1, n_subjects + 1)
+    hadm = sid + 1000
+    icustay = sid + 2000
+
+    base = pd.Timestamp("2150-01-01")
+    intime = [base + pd.Timedelta(days=int(d)) for d in rng.integers(0, 300, n_subjects)]
+    los_h = rng.uniform(26, 400, n_subjects)
+    outtime = [t + pd.Timedelta(hours=float(h)) for t, h in zip(intime, los_h)]
+    dob = [t - pd.Timedelta(days=int(365.25 * a))
+           for t, a in zip(intime, rng.integers(10, 95, n_subjects))]
+    death = [t + pd.Timedelta(days=2) if rng.random() < 0.2 else pd.NaT for t in outtime]
+
+    pd.DataFrame({
+        "SUBJECT_ID": sid, "HADM_ID": hadm,
+        "ADMITTIME": intime, "DISCHTIME": outtime, "DEATHTIME": death,
+        "ETHNICITY": rng.choice(_ETHNICITIES, n_subjects),
+        "INSURANCE": rng.choice(_INSURANCES, n_subjects),
+    }).to_csv(f"{out_dir}/ADMISSIONS.csv.gz", index=False, compression="gzip")
+
+    pd.DataFrame({
+        "SUBJECT_ID": sid, "GENDER": rng.choice(["M", "F"], n_subjects), "DOB": dob,
+    }).to_csv(f"{out_dir}/PATIENTS.csv.gz", index=False, compression="gzip")
+
+    pd.DataFrame({
+        "SUBJECT_ID": sid, "HADM_ID": hadm, "ICUSTAY_ID": icustay,
+        "INTIME": intime, "OUTTIME": outtime,
+    }).to_csv(f"{out_dir}/ICUSTAYS.csv.gz", index=False, compression="gzip")
+
+    # CHARTEVENTS: mix of vent itemids and feature-set-C itemids.
+    rows = []
+    for i in range(n_subjects):
+        for _ in range(rng.integers(3, 10)):
+            itemid = int(rng.choice([223849, 467, 220045, 220210, 618, 646]))
+            rows.append({
+                "ICUSTAY_ID": icustay[i],
+                "CHARTTIME": intime[i] + pd.Timedelta(hours=float(rng.uniform(0, 23))),
+                "ITEMID": itemid,
+                "VALUE": "Ventilator" if itemid == 467 else f"{rng.uniform(40, 180):.1f}",
+                "VALUENUM": rng.uniform(40, 180),
+                "ERROR": 0,
+                "SUBJECT_ID": sid[i], "HADM_ID": hadm[i],
+            })
+    pd.DataFrame(rows).to_csv(f"{out_dir}/CHARTEVENTS.csv.gz", index=False, compression="gzip")
+
+    rows = []
+    for i in range(n_subjects):
+        for _ in range(rng.integers(4, 12)):
+            rows.append({
+                "SUBJECT_ID": sid[i], "HADM_ID": hadm[i],
+                "CHARTTIME": intime[i] + pd.Timedelta(hours=float(rng.uniform(0, 23))),
+                "ITEMID": int(rng.choice([51221, 50912, 50868, 51265])),
+                "VALUENUM": rng.uniform(0.5, 40),
+            })
+    pd.DataFrame(rows).to_csv(f"{out_dir}/LABEVENTS.csv.gz", index=False, compression="gzip")
+
+    for name, items, col in [
+        ("inputevents_cv", [30008, 30023], "AMOUNT"),
+        ("inputevents_mv", [220864, 225154], "AMOUNT"),
+    ]:
+        rows = []
+        for i in range(n_subjects):
+            for _ in range(rng.integers(1, 5)):
+                rows.append({
+                    "SUBJECT_ID": sid[i], "HADM_ID": hadm[i],
+                    "STARTTIME": intime[i] + pd.Timedelta(hours=float(rng.uniform(0, 23))),
+                    "ITEMID": int(rng.choice(items)),
+                    col: rng.uniform(1, 500),
+                })
+        pd.DataFrame(rows).to_csv(f"{out_dir}/{name}.csv.gz", index=False, compression="gzip")
+
+    rows = []
+    for i in range(n_subjects):
+        rows.append({
+            "SUBJECT_ID": sid[i], "HADM_ID": hadm[i],
+            "CHARTTIME": intime[i] + pd.Timedelta(hours=2.0),
+            "ITEMID": 226573, "VALUE": rng.uniform(10, 400),
+        })
+    pd.DataFrame(rows).to_csv(f"{out_dir}/OUTPUTEVENTS.csv.gz", index=False, compression="gzip")
+
+    rows = []
+    for i in range(n_subjects):
+        rows.append({
+            "SUBJECT_ID": sid[i], "HADM_ID": hadm[i],
+            "STARTDATE": intime[i], "DRUG": str(rng.choice(["Aspirin", "Metoprolol", "Bisacodyl"])),
+        })
+    pd.DataFrame(rows).to_csv(f"{out_dir}/PRESCRIPTIONS.csv.gz", index=False, compression="gzip")
+
+    rows = []
+    for i in range(0, n_subjects, 3):
+        rows.append({
+            "ICUSTAY_ID": icustay[i],
+            "STARTTIME": intime[i] + pd.Timedelta(hours=30.0),
+            "ITEMID": int(rng.choice([227194, 225468, 225477])),
+        })
+    pd.DataFrame(rows).to_csv(f"{out_dir}/PROCEDUREEVENTS_MV.csv.gz", index=False, compression="gzip")
+
+    rows = []
+    for i in range(n_subjects):
+        if rng.random() < 0.9:
+            n_words = int(rng.integers(20, 1200))
+            rows.append({
+                "SUBJECT_ID": sid[i], "HADM_ID": hadm[i],
+                "CHARTDATE": (intime[i] + pd.Timedelta(days=1)).normalize(),
+                "TEXT": " ".join(rng.choice(_WORDS, n_words)) + " Dr. Smith [**Name**] 1. item",
+            })
+    pd.DataFrame(rows).to_csv(f"{out_dir}/NOTEEVENTS.csv.gz", index=False, compression="gzip")

@@ -1,0 +1,167 @@
+"""Data layer tests: splits, featurization, loader, synthetic data, ETL."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fairmultimodal_tpu.data import (
+    BatchIterator,
+    assemble_features,
+    multilabel_stratified_split,
+    reference_three_way_split,
+)
+from fairmultimodal_tpu.data.featurize import (
+    compute_pos_weights,
+    get_age_bucket,
+    map_ethnicity,
+    map_insurance,
+    zscore,
+)
+from fairmultimodal_tpu.data.synthetic import make_common_frames, write_raw_mimic
+
+
+def test_split_sizes_and_disjoint(rng):
+    labels = rng.integers(0, 2, (500, 3))
+    rest, test = multilabel_stratified_split(labels, 0.2, seed=42)
+    assert len(rest) + len(test) == 500
+    assert len(test) == 100
+    assert len(np.intersect1d(rest, test)) == 0
+
+
+def test_split_stratification_quality(rng):
+    # Rare label (~4%) must be proportionally represented in the test fold.
+    labels = np.zeros((1000, 3), dtype=int)
+    labels[:, 0] = rng.random(1000) < 0.04
+    labels[:, 1] = rng.random(1000) < 0.4
+    labels[:, 2] = rng.random(1000) < 0.9
+    rest, test = multilabel_stratified_split(labels, 0.2, seed=42)
+    pos_total = labels[:, 0].sum()
+    pos_test = labels[test, 0].sum()
+    assert abs(pos_test - 0.2 * pos_total) <= 2
+
+
+def test_split_deterministic(rng):
+    labels = rng.integers(0, 2, (300, 3))
+    a = multilabel_stratified_split(labels, 0.2, seed=7)
+    b = multilabel_stratified_split(labels, 0.2, seed=7)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_three_way_split_matches_reference_fractions(rng):
+    labels = rng.integers(0, 2, (1000, 3))
+    tr, va, te = reference_three_way_split(labels)
+    assert len(te) == 200
+    assert len(va) == round(0.05 * 800)
+    assert len(tr) + len(va) + len(te) == 1000
+    assert not (set(tr) & set(va) or set(tr) & set(te) or set(va) & set(te))
+
+
+def test_demographic_mappers_reference_quirks():
+    assert get_age_bucket(29) == "15-29"
+    assert get_age_bucket(90) == "Other"
+    assert get_age_bucket("bad") == "Other"
+    # Title-cased exact match only: MIMIC subtypes fall to Other
+    # (10_FAME.py:662-670).
+    assert map_ethnicity("WHITE") == "White"
+    assert map_ethnicity("WHITE - RUSSIAN") == "Other"
+    assert map_ethnicity(2) == "Hispanic"
+    assert map_insurance("SELF PAY") == "Self Pay"
+    assert map_insurance(4) == "Self Pay"
+    assert map_insurance("Other thing") == "Other"
+
+
+def test_zscore_and_pos_weights():
+    x = np.array([[1.0, 10.0], [3.0, 10.0]], np.float32)
+    z, mean, std = zscore(x)
+    np.testing.assert_allclose(mean, [2.0, 10.0])
+    assert z[0, 1] == 0.0  # zero-std column maps to 0 via eps
+    labels = np.array([[1, 0, 1], [0, 0, 1], [0, 0, 1], [0, 0, 1]], np.float32)
+    w = compute_pos_weights(labels)
+    np.testing.assert_allclose(w, [4 / 2, 1.0, 4 / 8])
+
+
+def test_assemble_features_from_synthetic():
+    s, u = make_common_frames(n_patients=60, n_lab_features=8, seed=1)
+    fb = assemble_features(s, u)
+    # Patients without any note chunk are dropped (10_FAME.py:629-635).
+    assert fb.num_patients < 60
+    assert fb.num_lab_features == 8 + 1  # 8 lab_t cols + icu_los is numeric
+    assert fb.labels.shape == (fb.num_patients, 3)
+    assert fb.labs.dtype == np.float32
+    # z-scored columns: zero mean.
+    np.testing.assert_allclose(fb.labs.mean(axis=0), 0, atol=1e-4)
+    assert all(len(c) >= 1 for c in fb.note_chunks)
+    # age codes within the reference space.
+    assert set(np.unique(fb.age_codes)) <= {0, 1, 2, 3, 4}
+
+
+def test_assemble_features_keep_noteless():
+    s, u = make_common_frames(n_patients=60, n_lab_features=8, seed=1)
+    fb = assemble_features(s, u, require_notes=False)
+    assert fb.num_patients == 60
+    assert any(len(c) == 0 for c in fb.note_chunks)
+
+
+def test_batch_iterator_pads_and_masks(rng):
+    arrays = {"x": rng.normal(size=(10, 4)).astype(np.float32),
+              "y": rng.integers(0, 2, 10).astype(np.float32)}
+    it = BatchIterator(arrays, batch_size=4)
+    batches = list(it)
+    assert len(batches) == 3
+    assert all(b["x"].shape == (4, 4) for b in batches)
+    assert batches[-1]["weight"].sum() == 2.0
+    total = sum(b["weight"].sum() for b in batches)
+    assert total == 10
+
+
+def test_batch_iterator_shuffles_deterministically(rng):
+    arrays = {"x": np.arange(20, dtype=np.float32)}
+    a = [b["x"] for b in BatchIterator(arrays, 5, shuffle=True, seed=3)]
+    b = [b["x"] for b in BatchIterator(arrays, 5, shuffle=True, seed=3)]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+    assert not np.array_equal(np.concatenate(a), arrays["x"])
+
+
+@pytest.mark.slow
+def test_etl_end_to_end(tmp_path):
+    from fairmultimodal_tpu.data.etl import run_etl
+
+    raw = tmp_path / "raw"
+    out = tmp_path / "out"
+    write_raw_mimic(str(raw), n_subjects=30, seed=0)
+    stats = run_etl(str(raw), str(out))
+
+    s = pd.read_csv(out / "final_structured_common.csv")
+    u = pd.read_csv(out / "final_unstructured_common.csv")
+    # Contract columns exist.
+    for col in ["subject_id", "hadm_id", "short_term_mortality", "los_binary",
+                "mechanical_ventilation", "age", "age_bucket",
+                "ethnicity_category", "insurance_category", "gender", "icu_los"]:
+        assert col in s.columns, col
+    assert any(c.startswith("lab_t") for c in s.columns)
+    assert any(c.startswith("chartevents_t") for c in s.columns)
+    assert any(c.startswith("note_chunk_") for c in u.columns)
+    # One row per subject; common subjects only.
+    assert s["subject_id"].is_unique
+    assert set(s["subject_id"]) == set(u["subject_id"])
+    assert stats["n_common"] == len(s)
+    # Labels are binary ints.
+    assert set(s["short_term_mortality"].unique()) <= {0, 1}
+    assert set(s["los_binary"].unique()) <= {0, 1}
+    assert set(s["mechanical_ventilation"].unique()) <= {0, 1}
+    # Age window respected (00_data.py:294).
+    assert s["age"].between(15, 90).all()
+    # los_binary consistent with icu_los threshold.
+    base = pd.read_csv(out / "final_structured_dataset.csv")
+    assert ((base["icu_los"] > 168).astype(int) == base["los_binary"]).all()
+
+
+def test_note_cleaning_and_chunking():
+    from fairmultimodal_tpu.data.etl import clean_note_text, split_text_to_chunks
+
+    txt = "admission date: 2150-1-1 [**Name**] dr. smith m.d. 1. first -- item"
+    cleaned = clean_note_text(txt)
+    assert "[**" not in cleaned and "dr." not in cleaned and "--" not in cleaned
+    chunks = split_text_to_chunks("a b c d e", chunk_size=2)
+    assert chunks == ["a b", "c d", "e"]
