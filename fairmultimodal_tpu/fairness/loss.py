@@ -28,7 +28,8 @@ import jax.numpy as jnp
 __all__ = ["subgroup_soft_errors", "eddi_loss"]
 
 
-def subgroup_soft_errors(probs, labels, group_ids, num_groups: int, axis_name: Optional[str] = None):
+def subgroup_soft_errors(probs, labels, group_ids, num_groups: int,
+                         axis_name: Optional[str] = None, weight=None):
     """Per-subgroup mean soft error with presence mask.
 
     Args:
@@ -37,16 +38,25 @@ def subgroup_soft_errors(probs, labels, group_ids, num_groups: int, axis_name: O
       group_ids: [B] int codes in [0, num_groups).
       num_groups: static code-space size.
       axis_name: optional mapped axis to psum over (data parallelism).
+      weight: optional [B] validity mask (1 real / 0 padded row); padded rows
+        drop out of every count and sum, so fixed-shape padded batches give
+        bit-identical losses to ragged ones.
 
     Returns:
       (sub_err [G], present [G] bool, overall_err scalar)
     """
     err = jnp.abs(probs - labels)
     onehot = (group_ids[:, None] == jnp.arange(num_groups)[None, :]).astype(probs.dtype)
+    if weight is not None:
+        w = weight.astype(probs.dtype)
+        onehot = onehot * w[:, None]
+        err = err * w
+        total_n = jnp.sum(w)
+    else:
+        total_n = jnp.asarray(err.shape[0], probs.dtype)
     counts = jnp.sum(onehot, axis=0)
     sums = err @ onehot
     total_err = jnp.sum(err)
-    total_n = jnp.asarray(err.shape[0], probs.dtype)
     if axis_name is not None:
         counts = jax.lax.psum(counts, axis_name)
         sums = jax.lax.psum(sums, axis_name)
@@ -64,6 +74,7 @@ def eddi_loss(
     sensitive: Sequence,
     group_sizes: Sequence[int],
     axis_name: Optional[str] = None,
+    weight=None,
 ):
     """L_EDDI = mean over (task, attribute) of subgroup soft-error RMSE.
 
@@ -85,7 +96,7 @@ def eddi_loss(
         y_i = labels[:, i]
         for sens, g in zip(sensitive, group_sizes):
             sub_err, present, overall = subgroup_soft_errors(
-                p_i, y_i, sens, g, axis_name=axis_name
+                p_i, y_i, sens, g, axis_name=axis_name, weight=weight
             )
             diffs = jnp.where(present, (sub_err - overall) ** 2, 0.0)
             n_present = jnp.maximum(jnp.sum(present.astype(probs.dtype)), 1.0)

@@ -1,0 +1,177 @@
+"""BEHRT-style structured-data encoders.
+
+- :class:`BEHRTDemo` — BERT over a single dummy token plus four demographic
+  embedding tables averaged onto the CLS vector (10_FAME.py:175-206).
+- :class:`BEHRTLab` — every z-scored 2h-bin lab scalar becomes a token via a
+  Linear(1, H) embedding plus a learned positional embedding, encoded by a
+  torch-style post-LN transformer (ReLU FFN, dim 2048) and mean-pooled
+  (10_FAME.py:208-224).
+- :class:`BEHRTCombined` — the 01_BEHRT structured-only baseline: lab encoder
+  + fusion FC + three single-logit heads (01_BEHRT.py:132-149).
+
+TPU notes: the lab sequence (~550 tokens) is right-padded to a multiple of
+128 inside :class:`BEHRTLab` so the attention kernel sees tile-aligned
+shapes; padded positions are masked out of both attention and the mean-pool.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fairmultimodal_tpu.models.bert import BertConfig, BertEncoderModel
+from fairmultimodal_tpu.ops.attention import multi_head_attention
+
+__all__ = ["BEHRTDemo", "BEHRTLab", "BEHRTCombined", "TorchEncoderLayer"]
+
+
+class TorchEncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer matching torch defaults.
+
+    torch ``nn.TransformerEncoderLayer(d_model, nhead)``: post-norm, ReLU,
+    dim_feedforward=2048, dropout=0.1 (10_FAME.py:214).  Behavioral parity
+    matters because the lab encoder's convergence depends on the post-LN
+    placement.
+    """
+
+    hidden_size: int
+    num_heads: int
+    ffn_size: int = 2048
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        h, nh = self.hidden_size, self.num_heads
+        d = h // nh
+        b, s, _ = x.shape
+
+        def heads(name):
+            y = nn.Dense(h, dtype=self.dtype, name=name)(x)
+            return y.reshape(b, s, nh, d).transpose(0, 2, 1, 3)
+
+        attn = multi_head_attention(heads("query"), heads("key"), heads("value"), mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
+        attn = nn.Dense(h, dtype=self.dtype, name="attn_out")(attn)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+
+        y = nn.Dense(self.ffn_size, dtype=self.dtype, name="ffn_in")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(h, dtype=self.dtype, name="ffn_out")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class BEHRTLab(nn.Module):
+    """Scalar-token lab encoder (10_FAME.py:208-224).
+
+    Input: [B, L] z-scored lab features. Each scalar is embedded with a
+    shared Linear(1, H), gets a learned per-position embedding, runs through
+    ``num_layers`` post-LN encoder layers, and mean-pools over the L real
+    tokens.  The sequence is padded to a 128 multiple for MXU/VPU tiling;
+    pad tokens are masked everywhere.
+    """
+
+    lab_token_count: int
+    hidden_size: int = 768
+    num_heads: int = 8
+    num_layers: int = 2
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+    pad_to: int = 128
+
+    @nn.compact
+    def __call__(self, lab_features, deterministic: bool = True):
+        b, L = lab_features.shape
+        x = lab_features[..., None].astype(self.dtype)  # [B, L, 1]
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="token_embedding")(x)
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (self.lab_token_count, self.hidden_size))
+        x = x + pos[None, :, :].astype(self.dtype)
+
+        S = _round_up(L, self.pad_to)
+        if S != L:
+            x = jnp.pad(x, ((0, 0), (0, S - L), (0, 0)))
+        mask = (jnp.arange(S) < L)[None, :].astype(jnp.int32)
+        mask = jnp.broadcast_to(mask, (b, S))
+
+        for i in range(self.num_layers):
+            x = TorchEncoderLayer(self.hidden_size, self.num_heads,
+                                  dropout=self.dropout, dtype=self.dtype,
+                                  name=f"layer_{i}")(x, mask, deterministic)
+        # Mean over the L real tokens only.
+        x = x[:, :L, :]
+        return jnp.mean(x, axis=1)
+
+
+class BEHRTDemo(nn.Module):
+    """Demographic encoder (10_FAME.py:175-206).
+
+    BERT (12L/12H by default) over a [B, 1] dummy token; CLS plus the mean of
+    four demographic embeddings.  Ids are clipped into each table like the
+    reference (torch.clamp at :195-198).
+    """
+
+    num_ages: int
+    num_genders: int
+    num_ethnicities: int
+    num_insurances: int
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, dummy_ids, attn_mask, age_ids, gender_ids,
+                 ethnicity_ids, insurance_ids, deterministic: bool = True):
+        vocab = self.num_ages + self.num_genders + self.num_ethnicities + self.num_insurances + 2
+        cfg = BertConfig(
+            vocab_size=vocab,
+            hidden_size=self.hidden_size,
+            num_hidden_layers=self.num_hidden_layers,
+            num_attention_heads=self.num_attention_heads,
+            intermediate_size=self.intermediate_size,
+        )
+        cls = BertEncoderModel(cfg, dtype=self.dtype, name="bert")(
+            dummy_ids, attn_mask, deterministic=deterministic, pool="cls")
+
+        def emb(ids, n, name):
+            ids = jnp.clip(ids, 0, n - 1)
+            return nn.Embed(n, self.hidden_size, dtype=self.dtype, name=name)(ids)
+
+        extra = (emb(age_ids, self.num_ages, "age_embedding")
+                 + emb(gender_ids, self.num_genders, "gender_embedding")
+                 + emb(ethnicity_ids, self.num_ethnicities, "ethnicity_embedding")
+                 + emb(insurance_ids, self.num_insurances, "insurance_embedding")) / 4.0
+        return cls + extra
+
+
+class BEHRTCombined(nn.Module):
+    """01_BEHRT structured-only baseline (01_BEHRT.py:132-149): lab encoder
+    -> fusion FC -> dropout -> three single-logit heads, returned [B, 3]."""
+
+    lab_token_count: int
+    hidden_size: int = 768
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, lab_features, deterministic: bool = True):
+        x = BEHRTLab(self.lab_token_count, self.hidden_size, dtype=self.dtype,
+                     name="lab_model")(lab_features, deterministic)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="fusion_fc")(x)
+        x = nn.Dropout(0.1)(x, deterministic=deterministic)
+        logits = jnp.concatenate([
+            nn.Dense(1, dtype=self.dtype, name="classifier_mort")(x),
+            nn.Dense(1, dtype=self.dtype, name="classifier_los")(x),
+            nn.Dense(1, dtype=self.dtype, name="classifier_mech")(x),
+        ], axis=-1)
+        return logits.astype(jnp.float32)

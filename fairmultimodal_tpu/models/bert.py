@@ -1,0 +1,211 @@
+"""Config-parametric Flax BERT encoder.
+
+One implementation serves every BERT in the framework:
+
+- BEHRT-Demo's 12L/12H BERT over a 1-token dummy input (10_FAME.py:175-206)
+- DfC's demographics-free BERT (03_DfC.py:156-184)
+- BioClinicalBERT (emilyalsentzer/Bio_ClinicalBERT) for note encoding, with a
+  converter from HF torch weights when they are available locally.
+
+Architecture is standard post-LN BERT (embeddings + L transformer layers with
+GELU intermediate), matching HF ``BertModel`` so converted weights are
+numerically equivalent.  Attention goes through
+``fairmultimodal_tpu.ops.multi_head_attention`` (Pallas on TPU for aligned
+shapes).  Matmuls run in ``dtype`` (bf16 on TPU by default at call sites);
+layernorm statistics and softmax accumulate in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fairmultimodal_tpu.ops.attention import multi_head_attention
+
+__all__ = ["BertConfig", "BertEncoderModel", "bio_clinical_bert_config",
+           "load_hf_bert_params"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+
+
+def bio_clinical_bert_config() -> BertConfig:
+    """emilyalsentzer/Bio_ClinicalBERT = bert-base-cased geometry."""
+    return BertConfig(vocab_size=28996)
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, deterministic=True):
+        c = self.config
+        seq = input_ids.shape[1]
+        word = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                        name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(seq)[None, :]
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size, dtype=self.dtype,
+                       name="position_embeddings")(pos_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        typ = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=self.dtype,
+                       name="token_type_embeddings")(token_type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="layer_norm")(x)
+        x = nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, mask, deterministic=True):
+        c = self.config
+        h, nh = c.hidden_size, c.num_attention_heads
+        d = h // nh
+        b, s, _ = hidden.shape
+
+        def heads(name):
+            y = nn.Dense(h, dtype=self.dtype, name=name)(hidden)
+            return y.reshape(b, s, nh, d).transpose(0, 2, 1, 3)
+
+        q, k, v = heads("query"), heads("key"), heads("value")
+        out = multi_head_attention(q, k, v, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h)
+        out = nn.Dense(h, dtype=self.dtype, name="output_dense")(out)
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                           name="output_layer_norm")(out + hidden)
+        return out
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, mask, deterministic=True):
+        c = self.config
+        x = BertSelfAttention(c, dtype=self.dtype, name="attention")(
+            hidden, mask, deterministic)
+        y = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(y)
+        y = nn.Dropout(c.hidden_dropout_prob)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                            name="output_layer_norm")(y + x)
+
+
+class BertEncoderModel(nn.Module):
+    """BERT trunk: (input_ids, attention_mask) -> last_hidden_state.
+
+    ``pool="cls"`` returns the [CLS] vector (the reference always uses
+    ``last_hidden_state[:, 0, :]`` — 10_FAME.py:141,200 — never the tanh
+    pooler, so no pooler weights are created unless requested).
+    """
+
+    config: BertConfig
+    dtype: Any = jnp.float32
+    add_pooler: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 deterministic: bool = True, pool: Optional[str] = None):
+        c = self.config
+        x = BertEmbeddings(c, dtype=self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic)
+        for i in range(c.num_hidden_layers):
+            x = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                x, attention_mask, deterministic)
+        if pool == "cls":
+            return x[:, 0, :]
+        if pool == "pooler" or self.add_pooler:
+            cls = x[:, 0, :]
+            pooled = nn.tanh(nn.Dense(c.hidden_size, dtype=self.dtype,
+                                      name="pooler")(cls))
+            if pool == "pooler":
+                return pooled
+        return x
+
+
+# --- HF weight conversion -----------------------------------------------------
+
+def load_hf_bert_params(model_name_or_path: str, config: Optional[BertConfig] = None) -> Dict:
+    """Convert a HF torch BertModel checkpoint into this module's param tree.
+
+    Works offline from a local directory or the HF cache; raises a clear
+    error when weights are unavailable (no network egress in CI) — callers
+    fall back to random init for tests.
+    """
+    import numpy as np
+
+    try:
+        import transformers
+
+        hf = transformers.BertModel.from_pretrained(model_name_or_path)
+    except Exception as e:  # pragma: no cover - environment dependent
+        raise FileNotFoundError(
+            f"Cannot load HF weights for {model_name_or_path!r} "
+            f"(offline environment?): {e}"
+        ) from e
+
+    sd = {k: np.asarray(v) for k, v in hf.state_dict().items()}
+    cfg = config or BertConfig(
+        vocab_size=hf.config.vocab_size,
+        hidden_size=hf.config.hidden_size,
+        num_hidden_layers=hf.config.num_hidden_layers,
+        num_attention_heads=hf.config.num_attention_heads,
+        intermediate_size=hf.config.intermediate_size,
+        max_position_embeddings=hf.config.max_position_embeddings,
+        type_vocab_size=hf.config.type_vocab_size,
+    )
+
+    def dense(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    params: Dict = {
+        "embeddings": {
+            "word_embeddings": {"embedding": sd["embeddings.word_embeddings.weight"]},
+            "position_embeddings": {"embedding": sd["embeddings.position_embeddings.weight"]},
+            "token_type_embeddings": {"embedding": sd["embeddings.token_type_embeddings.weight"]},
+            "layer_norm": ln("embeddings.LayerNorm"),
+        }
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": dense(f"{p}.attention.self.query"),
+                "key": dense(f"{p}.attention.self.key"),
+                "value": dense(f"{p}.attention.self.value"),
+                "output_dense": dense(f"{p}.attention.output.dense"),
+                "output_layer_norm": ln(f"{p}.attention.output.LayerNorm"),
+            },
+            "intermediate": dense(f"{p}.intermediate.dense"),
+            "output": dense(f"{p}.output.dense"),
+            "output_layer_norm": ln(f"{p}.output.LayerNorm"),
+        }
+    if "pooler.dense.weight" in sd:
+        params["pooler"] = dense("pooler.dense")
+    return params

@@ -1,0 +1,188 @@
+"""Text modality: BioClinicalBERT note encoding, batched the TPU way.
+
+The reference encodes every note chunk one at a time with batch size 1 and a
+host sync per note (``10_FAME.py:144-173`` — its hottest loop).  Here all
+(patient, chunk) pairs are flattened into one padded ``[N_chunks, max_len]``
+int32 array, encoded in large fixed-shape batches on device, and mean-reduced
+back to patients with a segment-sum — patients with zero notes get the zero
+vector exactly like the reference (``10_FAME.py:153-154``).
+
+Weights: :meth:`TextEncoder.from_pretrained` converts the HF torch checkpoint
+when it is available locally; otherwise (no-egress CI) it deterministically
+random-initializes the same architecture — embedding *quality* then differs
+but every shape/dtype contract holds, which is what the tests pin down.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fairmultimodal_tpu.models.bert import (
+    BertConfig,
+    BertEncoderModel,
+    bio_clinical_bert_config,
+    load_hf_bert_params,
+)
+
+__all__ = ["TextEncoder", "encode_note_chunks", "HashingTokenizer"]
+
+
+class HashingTokenizer:
+    """Deterministic offline stand-in for a WordPiece tokenizer.
+
+    Maps whitespace tokens to stable ids via blake2 hashing.  Used when the
+    HF vocab is unavailable (tests, air-gapped machines); shares the CLS=101
+    / SEP=102 / PAD=0 convention so downstream code is tokenizer-agnostic.
+    """
+
+    cls_token_id = 101
+    sep_token_id = 102
+    pad_token_id = 0
+
+    def __init__(self, vocab_size: int = 28996):
+        self.vocab_size = vocab_size
+
+    def _tok(self, word: str) -> int:
+        h = int.from_bytes(hashlib.blake2s(word.encode(), digest_size=4).digest(), "little")
+        return 1000 + (h % (self.vocab_size - 1000))
+
+    def encode(self, text: str, max_length: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+        ids = [self.cls_token_id] + [self._tok(w) for w in text.split()][: max_length - 2]
+        ids.append(self.sep_token_id)
+        attn = [1] * len(ids)
+        pad = max_length - len(ids)
+        return (np.array(ids + [0] * pad, np.int32),
+                np.array(attn + [0] * pad, np.int32))
+
+
+class _HFTokenizerAdapter:
+    def __init__(self, hf_tokenizer):
+        self.t = hf_tokenizer
+
+    def encode(self, text: str, max_length: int = 512):
+        out = self.t(text, max_length=max_length, padding="max_length",
+                     truncation=True, return_tensors="np")
+        return (out["input_ids"][0].astype(np.int32),
+                out["attention_mask"][0].astype(np.int32))
+
+
+class TextEncoder:
+    """Frozen BERT text encoder producing CLS embeddings."""
+
+    def __init__(self, config: BertConfig, params, tokenizer, dtype=jnp.float32):
+        self.config = config
+        self.module = BertEncoderModel(config, dtype=dtype)
+        self.params = params
+        self.tokenizer = tokenizer
+        self._encode_batch = jax.jit(
+            lambda p, ids, mask: self.module.apply(
+                {"params": p}, ids, mask, deterministic=True, pool="cls")
+        )
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_name: str = "emilyalsentzer/Bio_ClinicalBERT",
+        dtype=jnp.float32,
+        fallback_config: Optional[BertConfig] = None,
+        seed: int = 0,
+    ) -> "TextEncoder":
+        """HF weights + tokenizer when reachable, deterministic random init
+        with a hashing tokenizer otherwise."""
+        try:
+            params = load_hf_bert_params(model_name)
+            import transformers
+
+            tok = _HFTokenizerAdapter(
+                transformers.AutoTokenizer.from_pretrained(model_name))
+            config = bio_clinical_bert_config()
+        except Exception:
+            config = fallback_config or bio_clinical_bert_config()
+            module = BertEncoderModel(config, dtype=dtype)
+            dummy = jnp.zeros((1, 8), jnp.int32)
+            params = module.init(jax.random.PRNGKey(seed), dummy,
+                                 jnp.ones((1, 8), jnp.int32))["params"]
+            tok = HashingTokenizer(config.vocab_size)
+        return cls(config, params, tok, dtype=dtype)
+
+    def encode_ids(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        """[N, S] -> [N, H] CLS embeddings."""
+        return self._encode_batch(self.params, input_ids, attention_mask)
+
+
+def encode_note_chunks(
+    encoder: TextEncoder,
+    note_chunks: Sequence[List[str]],
+    max_length: int = 512,
+    batch_size: int = 32,
+    aggregation: str = "mean",
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> np.ndarray:
+    """Per-patient aggregated text embeddings, batched.
+
+    Replaces ``apply_bioclinicalbert_on_patient_notes`` (10_FAME.py:144-173):
+    same math — per-chunk CLS embeddings aggregated (mean or max) per patient,
+    zero vector for patients without notes — but all chunks are encoded in
+    fixed-shape device batches instead of one Python-loop inference per note.
+
+    Args:
+      encoder: frozen text encoder.
+      note_chunks: per-patient list of chunk strings (possibly empty).
+      max_length: tokenizer truncation length (512 for 02/05/10; 128 for
+        03/04/06/07/08 — pass accordingly).
+      batch_size: chunk-level device batch size (pad to fixed shape).
+      aggregation: "mean" or "max" over a patient's chunks.
+
+    Returns [n_patients, hidden] float32.
+    """
+    n_patients = len(note_chunks)
+    hidden = encoder.config.hidden_size
+
+    flat_texts: List[str] = []
+    owners: List[int] = []
+    for pid, chunks in enumerate(note_chunks):
+        for c in chunks:
+            if isinstance(c, str) and c.strip():
+                flat_texts.append(c)
+                owners.append(pid)
+    out = np.zeros((n_patients, hidden), np.float32)
+    if not flat_texts:
+        return out
+
+    n = len(flat_texts)
+    ids = np.zeros((n, max_length), np.int32)
+    mask = np.zeros((n, max_length), np.int32)
+    for i, text in enumerate(flat_texts):
+        ids[i], mask[i] = encoder.tokenizer.encode(text, max_length=max_length)
+
+    embs = np.zeros((n, hidden), np.float32)
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        bs = stop - start
+        bi = ids[start:stop]
+        bm = mask[start:stop]
+        if bs < batch_size:  # keep one compiled shape
+            bi = np.pad(bi, ((0, batch_size - bs), (0, 0)))
+            bm = np.pad(bm, ((0, batch_size - bs), (0, 0)))
+        cls = np.asarray(encoder.encode_ids(jnp.asarray(bi), jnp.asarray(bm)))
+        embs[start:stop] = cls[:bs]
+        if progress is not None:
+            progress(stop, n)
+
+    owners_arr = np.asarray(owners)
+    if aggregation == "mean":
+        counts = np.zeros(n_patients, np.float32)
+        np.add.at(out, owners_arr, embs)
+        np.add.at(counts, owners_arr, 1.0)
+        nz = counts > 0
+        out[nz] /= counts[nz, None]
+    elif aggregation == "max":
+        np.maximum.at(out, owners_arr, embs)
+    else:
+        raise ValueError(f"unknown aggregation {aggregation!r}")
+    return out

@@ -1,0 +1,12 @@
+"""TPU compute ops: attention (Pallas fused kernel with XLA fallback),
+segment reductions, and fused losses.
+"""
+
+from fairmultimodal_tpu.ops.attention import multi_head_attention
+from fairmultimodal_tpu.ops.losses import (
+    bce_with_logits,
+    focal_loss,
+    sigmoid,
+)
+
+__all__ = ["multi_head_attention", "bce_with_logits", "focal_loss", "sigmoid"]

@@ -1,0 +1,73 @@
+"""Multi-head attention with a Pallas fused kernel on TPU.
+
+The encoders in this framework (BioClinicalBERT over 512-token note chunks,
+BEHRT-Lab over ~550 lab-bin tokens) spend their attention FLOPs on sequence
+lengths where a fused flash-style kernel avoids materializing the [B, H, S, S]
+score tensor in HBM.  ``multi_head_attention`` dispatches:
+
+- TPU + seq/head shapes aligned to the hardware tiles -> Pallas kernel
+  (``fairmultimodal_tpu.ops.flash_attention``)
+- anything else (CPU tests, tiny shapes, interpret mode) -> jnp einsum path
+  that XLA fuses adequately.
+
+Both paths compute identical math: softmax(QK^T/sqrt(d) + mask_bias) V with
+fp32 softmax accumulation regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["multi_head_attention", "attention_reference"]
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """XLA attention: q,k,v [B, H, S, D]; mask [B, S] (1 = attend).
+
+    Softmax in fp32 (bf16 inputs drift otherwise); output cast back to the
+    input dtype.
+    """
+    dtype = q.dtype
+    depth = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+    if mask is not None:
+        bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def _can_use_pallas(q: jax.Array) -> bool:
+    if jax.default_backend() not in ("tpu",):
+        return False
+    b, h, s, d = q.shape
+    # Tile alignment: the kernel processes 128-row blocks of fp32/bf16 tiles.
+    return s % 128 == 0 and d in (64, 128) and s >= 256
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatching MHA. Shapes: q,k,v [B, H, S, D]; mask [B, S]."""
+    if use_pallas is None:
+        use_pallas = _can_use_pallas(q)
+    if use_pallas:
+        from fairmultimodal_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask)
+    return attention_reference(q, k, v, mask)

@@ -1,0 +1,19 @@
+"""Training layer: jitted/pjit train steps, plateau scheduling, early
+stopping, threshold calibration, and the FAME dynamic-weight protocol.
+"""
+
+from fairmultimodal_tpu.train.loop import (
+    TrainConfig,
+    PlateauScheduler,
+    EarlyStopper,
+    FAMETrainer,
+)
+from fairmultimodal_tpu.train.calibrate import calibrate_thresholds
+
+__all__ = [
+    "TrainConfig",
+    "PlateauScheduler",
+    "EarlyStopper",
+    "FAMETrainer",
+    "calibrate_thresholds",
+]

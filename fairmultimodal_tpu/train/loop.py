@@ -1,0 +1,363 @@
+"""Jitted training loop for the FAME model family.
+
+Design vs the reference (``10_FAME.py:401-449,606-918``):
+
+- The train step is one jitted function: forward + BCE(pos_weight) +
+  λ_edd·(10·L_EDDI) + λ_l1·‖sig_weights‖₁, global-norm clip 1.0, AdamW.
+  The reference's Python loop over ``torch.unique`` subgroups becomes the
+  segment-sum L_EDDI (``fairness.loss``), so nothing leaves the device.
+- Per-epoch dynamic EDDI weights are a plain ``[3, 3]`` array *input* to the
+  step (task x modality) — updated on the host between epochs, never causing
+  recompilation.
+- The learning rate is an ``optax.inject_hyperparams`` hyperparameter so the
+  plateau scheduler mutates it in the optimizer state without recompiles.
+- Fixed-shape padded batches carry a validity mask threaded through the BCE,
+  the L_EDDI and the weight-update statistics, making padding an exact no-op.
+- Under a device mesh the same step is pjit-compiled with batch sharding
+  (see ``fairmultimodal_tpu.parallel``); metric reductions are psums.
+
+Host-side protocol objects (:class:`PlateauScheduler`, :class:`EarlyStopper`)
+replicate torch ``ReduceLROnPlateau(factor, patience)`` and the reference's
+best-val-loss early stop (patience 5, ``10_FAME.py:830-840``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fairmultimodal_tpu import EXPECTED_AGE_CODES, EXPECTED_ETHNICITY_CODES, \
+    EXPECTED_INSURANCE_CODES, TASKS
+from fairmultimodal_tpu.fairness.eddi import combined_eddi, eddi_from_stats
+from fairmultimodal_tpu.fairness.loss import eddi_loss
+from fairmultimodal_tpu.ops.losses import bce_with_logits
+
+__all__ = ["TrainConfig", "PlateauScheduler", "EarlyStopper", "FAMETrainer"]
+
+MODALITIES = ("demo", "lab", "text")
+GROUP_SIZES = (len(EXPECTED_AGE_CODES), len(EXPECTED_ETHNICITY_CODES),
+               len(EXPECTED_INSURANCE_CODES))
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Hyperparameters; defaults are the reference grid (10_FAME.py:921-924)."""
+
+    lr: float = 1e-5
+    num_epochs: int = 50
+    lambda_edd: float = 0.8
+    lambda_l1: float = 0.01
+    batch_size: int = 16
+    threshold: float = 0.5
+    weight_decay: float = 0.01
+    beta: float = 1.0
+    patience: int = 5
+    scheduler_factor: float = 0.1
+    scheduler_patience: int = 2
+    grad_clip: float = 1.0
+    seed: int = 42
+
+
+class PlateauScheduler:
+    """torch ReduceLROnPlateau(mode=min, threshold=1e-4 rel) semantics."""
+
+    def __init__(self, lr: float, factor: float = 0.1, patience: int = 2,
+                 threshold: float = 1e-4, min_lr: float = 0.0):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, val_loss: float) -> float:
+        if val_loss < self.best * (1.0 - self.threshold):
+            self.best = val_loss
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr
+
+
+class EarlyStopper:
+    """Best-val-loss early stopping (strict improvement, 10_FAME.py:830-840)."""
+
+    def __init__(self, patience: int = 5):
+        self.patience = patience
+        self.best = float("inf")
+        self.counter = 0
+        self.improved = False
+
+    def step(self, val_loss: float) -> bool:
+        """Returns True when training should stop."""
+        if val_loss < self.best:
+            self.best = val_loss
+            self.counter = 0
+            self.improved = True
+            return False
+        self.improved = False
+        self.counter += 1
+        return self.counter >= self.patience
+
+
+def _batch_to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+class FAMETrainer:
+    """Orchestrates the FAME training protocol.
+
+    Args:
+      model: a Flax module whose ``apply`` returns the FAME output dict
+        (``fused_logits``, ``modality_logits``, ...).
+      config: hyperparameters.
+      pos_weight: [3] per-task positive weights.
+      mesh/sharding: optional — when provided, steps are pjit-compiled with
+        the batch dimension sharded over the mesh's data axis (see
+        ``fairmultimodal_tpu.parallel.shard_train_step``).
+    """
+
+    def __init__(self, model, config: TrainConfig, pos_weight: np.ndarray,
+                 rngs_seed: int = 0, mesh=None, dynamic_weights_csv: Optional[str] = None):
+        self.model = model
+        self.config = config
+        self.pos_weight = jnp.asarray(pos_weight, jnp.float32)
+        self.mesh = mesh
+        self.dynamic_weights_csv = dynamic_weights_csv
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip),
+            optax.inject_hyperparams(optax.adamw)(
+                learning_rate=config.lr, weight_decay=config.weight_decay),
+        )
+        self._rng = jax.random.PRNGKey(rngs_seed)
+        self._build_steps()
+        # Initial dynamic weights: 0.33 per modality per task (10_FAME:792-796).
+        self.dynamic_weights = np.full((3, 3), 0.33, np.float32)
+        self.history: List[Dict[str, Any]] = []
+        self.tracked_dynamic_weights = {t: [] for t in TASKS}
+        self.tracked_sigmoid_weights: List[np.ndarray] = []
+
+    # -- jitted step functions -------------------------------------------------
+
+    def _loss_fn(self, params, batch, dyn_w, rng, train: bool):
+        out = self.model.apply(
+            {"params": params}, batch["model_inputs"], dynamic_weights=dyn_w,
+            deterministic=not train, rngs={"dropout": rng} if train else None)
+        logits = out["fused_logits"]
+        labels = batch["labels"]
+        w = batch["weight"]
+        bce = bce_with_logits(logits, labels, pos_weight=self.pos_weight, weight=w)
+        probs = jax.nn.sigmoid(logits)
+        sens = [batch["model_inputs"]["age_ids"],
+                batch["model_inputs"]["ethnicity_ids"],
+                batch["model_inputs"]["insurance_ids"]]
+        leddi = eddi_loss(probs, labels, sens, GROUP_SIZES, weight=w)
+        l1 = jnp.sum(jnp.abs(params["fusion"]["sig_weights"]))
+        total = bce + self.config.lambda_edd * (10.0 * leddi) + self.config.lambda_l1 * l1
+        return total, (bce, leddi, out)
+
+    def _build_steps(self):
+        cfg = self.config
+
+        def train_step(params, opt_state, batch, dyn_w, rng):
+            (total, (bce, leddi, _)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(params, batch, dyn_w, rng, True)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, total, bce
+
+        def eval_step(params, batch, dyn_w):
+            total, (bce, leddi, out) = self._loss_fn(
+                params, batch, dyn_w, jax.random.PRNGKey(0), False)
+            return total, bce, out["fused_logits"]
+
+        def modality_probs_step(params, batch, dyn_w):
+            out = self.model.apply({"params": params}, batch["model_inputs"],
+                                   dynamic_weights=dyn_w, deterministic=True)
+            ml = out["modality_logits"]
+            # [B, modality, task]
+            return jax.nn.sigmoid(jnp.stack([ml["demo"], ml["lab"], ml["text"]], axis=1))
+
+        # Under a mesh the batch leaves are device_put with a "data" sharding
+        # (see _put_batch); jit + GSPMD propagates shardings and inserts the
+        # gradient psums — no per-step code difference.
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+        self._modality_step = jax.jit(modality_probs_step)
+
+    def _put_batch(self, batch):
+        if self.mesh is not None:
+            from fairmultimodal_tpu.parallel import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return _batch_to_device(batch)
+
+    # -- protocol ---------------------------------------------------------------
+
+    def init_params(self, example_batch: Dict[str, Any]):
+        rng, self._rng = jax.random.split(self._rng)
+        variables = self.model.init(rng, example_batch["model_inputs"])
+        return variables["params"]
+
+    def init_opt_state(self, params):
+        return self.tx.init(params)
+
+    def set_lr(self, opt_state, lr: float):
+        """Mutate the injected learning-rate hyperparameter in place."""
+        opt_state[1].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return opt_state
+
+    def train_epoch(self, params, opt_state, loader, log_every: int = 0):
+        total_sum = 0.0
+        bce_sum = 0.0
+        nb = 0
+        dyn_w = jnp.asarray(self.dynamic_weights)
+        for batch in loader:
+            rng, self._rng = jax.random.split(self._rng)
+            params, opt_state, total, bce = self._train_step(
+                params, opt_state, self._put_batch(batch), dyn_w, rng)
+            total_sum += float(total)
+            bce_sum += float(bce)
+            nb += 1
+        return params, opt_state, total_sum / max(nb, 1), bce_sum / max(nb, 1)
+
+    def validate(self, params, loader) -> Tuple[float, np.ndarray, np.ndarray]:
+        """Average val loss (BCE only, matching 10_FAME.py:825) + logits."""
+        dyn_w = jnp.asarray(self.dynamic_weights)
+        losses = []
+        logits_all, labels_all = [], []
+        for batch in loader:
+            b = self._put_batch(batch)
+            total, bce, logits = self._eval_step(params, b, dyn_w)
+            losses.append(float(bce))
+            keep = batch["weight"] > 0
+            logits_all.append(np.asarray(logits)[keep])
+            labels_all.append(batch["labels"][keep])
+        return (float(np.mean(losses)) if losses else float("inf"),
+                np.concatenate(logits_all) if logits_all else np.zeros((0, 3)),
+                np.concatenate(labels_all) if labels_all else np.zeros((0, 3)))
+
+    def predict_logits(self, params, loader) -> Dict[str, np.ndarray]:
+        dyn_w = jnp.asarray(self.dynamic_weights)
+        out = {"logits": [], "labels": [], "age": [], "ethnicity": [], "insurance": []}
+        for batch in loader:
+            b = self._put_batch(batch)
+            _, _, logits = self._eval_step(params, b, dyn_w)
+            keep = batch["weight"] > 0
+            out["logits"].append(np.asarray(logits)[keep])
+            out["labels"].append(batch["labels"][keep])
+            out["age"].append(batch["model_inputs"]["age_ids"][keep])
+            out["ethnicity"].append(batch["model_inputs"]["ethnicity_ids"][keep])
+            out["insurance"].append(batch["model_inputs"]["insurance_ids"][keep])
+        return {k: np.concatenate(v) if v else np.zeros(0) for k, v in out.items()}
+
+    def update_dynamic_weights(self, params, loader, threshold: float = 0.5) -> np.ndarray:
+        """Per-epoch EDDI-guided weight update (10_FAME.py:315-399).
+
+        Runs modality-head inference over the full training set, computes per
+        (task, modality) combined EDDI over the three sensitive attributes,
+        and nudges each weight by clip(beta*(eddi_max - eddi_m), ±0.05) with
+        floor 0.1 and renormalization.
+        """
+        dyn_w = jnp.asarray(self.dynamic_weights)
+        # Accumulate per (task, modality, attribute) group stats on the host
+        # from device-reduced per-batch counts.
+        preds_all, labels_all = [], []
+        sens_all = {"age": [], "ethnicity": [], "insurance": []}
+        for batch in loader:
+            b = self._put_batch(batch)
+            probs = np.asarray(self._modality_step(params, b, dyn_w))  # [B, M, T]
+            keep = batch["weight"] > 0
+            preds_all.append((probs > threshold)[keep])
+            labels_all.append(batch["labels"][keep])
+            sens_all["age"].append(batch["model_inputs"]["age_ids"][keep])
+            sens_all["ethnicity"].append(batch["model_inputs"]["ethnicity_ids"][keep])
+            sens_all["insurance"].append(batch["model_inputs"]["insurance_ids"][keep])
+        preds = np.concatenate(preds_all)          # [N, M, T]
+        labels = np.concatenate(labels_all)        # [N, T]
+        sens = {k: np.concatenate(v) for k, v in sens_all.items()}
+
+        from fairmultimodal_tpu.fairness.eddi import compute_eddi
+
+        new_w = np.zeros_like(self.dynamic_weights)
+        complete = {"age": EXPECTED_AGE_CODES, "ethnicity": EXPECTED_ETHNICITY_CODES,
+                    "insurance": EXPECTED_INSURANCE_CODES}
+        for t in range(3):
+            eddis = []
+            for m in range(3):
+                per_attr = []
+                for attr in ("age", "ethnicity", "insurance"):
+                    e, _ = compute_eddi(labels[:, t], preds[:, m, t].astype(float),
+                                        sens[attr], threshold=threshold,
+                                        complete_groups=complete[attr])
+                    per_attr.append(e)
+                eddis.append(combined_eddi(*per_attr))
+            e_max = max(eddis)
+            prev = self.dynamic_weights[t]
+            upd = np.clip(self.config.beta * (e_max - np.asarray(eddis)), -0.05, 0.05)
+            w = np.maximum(prev + upd, 0.1)
+            new_w[t] = w / w.sum()
+        self.dynamic_weights = new_w.astype(np.float32)
+        return self.dynamic_weights
+
+    def fit(self, params, train_loader, val_loader, verbose: bool = True,
+            on_epoch_end: Optional[Callable] = None):
+        """Full protocol: epochs + plateau LR + early stop + best-state capture
+        + per-epoch dynamic weight updates.  Returns (best_params, history)."""
+        cfg = self.config
+        opt_state = self.init_opt_state(params)
+        sched = PlateauScheduler(cfg.lr, cfg.scheduler_factor, cfg.scheduler_patience)
+        stopper = EarlyStopper(cfg.patience)
+        best_params = params
+        csv_rows = [("Epoch", "Outcome", "demo_weight", "lab_weight", "text_weight")]
+
+        for epoch in range(cfg.num_epochs):
+            t0 = time.time()
+            params, opt_state, train_loss, train_bce = self.train_epoch(
+                params, opt_state, train_loader)
+            val_loss, _, _ = self.validate(params, val_loader)
+            lr = sched.step(val_loss)
+            opt_state = self.set_lr(opt_state, lr)
+            if verbose:
+                print(f"[Epoch {epoch + 1}] Train Loss: {train_loss:.4f} | "
+                      f"Val Loss: {val_loss:.4f} ({time.time() - t0:.1f}s)")
+            stop = stopper.step(val_loss)
+            if stopper.improved:
+                best_params = jax.tree_util.tree_map(lambda x: x, params)
+                if verbose:
+                    print("Validation loss improved. Saving model...")
+            elif verbose:
+                print(f"No improvement for {stopper.counter} consecutive epochs.")
+            self.history.append({"epoch": epoch + 1, "train_loss": train_loss,
+                                 "train_bce": train_bce, "val_loss": val_loss,
+                                 "lr": lr})
+            if stop:
+                if verbose:
+                    print("Early stopping triggered.")
+                break
+
+            new_w = self.update_dynamic_weights(params, train_loader, cfg.threshold)
+            for ti, task in enumerate(TASKS):
+                self.tracked_dynamic_weights[task].append(list(map(float, new_w[ti])))
+                csv_rows.append((epoch + 1, task, *[f"{v:.6f}" for v in new_w[ti]]))
+            sig = jax.nn.sigmoid(params["fusion"]["sig_weights"])
+            self.tracked_sigmoid_weights.append(np.asarray(sig))
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, params)
+
+        if self.dynamic_weights_csv:
+            import csv as _csv
+
+            with open(self.dynamic_weights_csv, "w", newline="") as f:
+                _csv.writer(f).writerows(csv_rows)
+        return best_params, self.history
