@@ -1,0 +1,87 @@
+"""Benchmark: FAME fusion fwd+bwd throughput (patients/sec/chip).
+
+Measures the full jitted training step (forward + BCE+L_EDDI+L1 loss +
+backward + AdamW update) of the reference-geometry FAMEModel — 768-hidden
+12L/12H demo-BERT, 2L/8H lab encoder over 549 lab-bin tokens, 768-d frozen
+text embeddings — in bfloat16 on the available accelerator.
+
+Baseline: the reference (PyTorch, fp32, batch 16) publishes no throughput
+numbers (BASELINE.json ``published: {}``), so ``vs_baseline`` is computed
+against an estimated single-A100 eager-PyTorch throughput of the same model:
+~42.5 GFLOPs/patient fwd+bwd at ~20% TF32 MFU (~31 TF/s effective) ->
+~730 patients/sec.  The estimate and its derivation are fixed here so the
+ratio is comparable across rounds.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_PATIENTS_PER_SEC = 730.0  # documented estimate, see module docstring
+
+LABS = 549
+BATCH = 128
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fairmultimodal_tpu.models.fusion import FAMEModel
+    from fairmultimodal_tpu.train.loop import FAMETrainer, TrainConfig
+
+    model = FAMEModel(num_ages=4, num_genders=2, num_ethnicities=5,
+                      num_insurances=6, lab_token_count=LABS,
+                      dtype=jnp.bfloat16)
+    cfg = TrainConfig(lr=1e-5, batch_size=BATCH)
+    trainer = FAMETrainer(model, cfg, pos_weight=np.ones(3, np.float32))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "model_inputs": {
+            "demo_dummy_ids": jnp.zeros((BATCH, 1), jnp.int32),
+            "demo_attn_mask": jnp.ones((BATCH, 1), jnp.int32),
+            "age_ids": jnp.asarray(rng.integers(0, 4, BATCH), jnp.int32),
+            "gender_ids": jnp.asarray(rng.integers(0, 2, BATCH), jnp.int32),
+            "ethnicity_ids": jnp.asarray(rng.integers(0, 5, BATCH), jnp.int32),
+            "insurance_ids": jnp.asarray(rng.integers(0, 6, BATCH), jnp.int32),
+            "lab_features": jnp.asarray(rng.normal(0, 1, (BATCH, LABS)), jnp.float32),
+            "text_embedding": jnp.asarray(rng.normal(0, 1, (BATCH, 768)), jnp.float32),
+        },
+        "labels": jnp.asarray(rng.integers(0, 2, (BATCH, 3)), jnp.float32),
+        "weight": jnp.ones(BATCH, jnp.float32),
+    }
+    params = trainer.init_params(batch)
+    opt_state = trainer.init_opt_state(params)
+    dyn_w = jnp.asarray(trainer.dynamic_weights)
+    step_rng = jax.random.PRNGKey(0)
+
+    # Warmup / compile.
+    for _ in range(3):
+        params, opt_state, total, _ = trainer._train_step(
+            params, opt_state, batch, dyn_w, step_rng)
+    jax.block_until_ready(total)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, total, _ = trainer._train_step(
+            params, opt_state, batch, dyn_w, step_rng)
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+
+    pps = BATCH * iters / dt
+    n_chips = jax.device_count()
+    pps_chip = pps / n_chips
+    print(json.dumps({
+        "metric": "fame_fusion_train_patients_per_sec_per_chip",
+        "value": round(pps_chip, 2),
+        "unit": "patients/sec/chip",
+        "vs_baseline": round(pps_chip / A100_BASELINE_PATIENTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

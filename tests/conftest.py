@@ -12,8 +12,17 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The machine's axon sitecustomize re-registers the TPU plugin and overwrites
+# jax_platforms at import time; force CPU back before the backend initializes.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,89 @@
+"""Training-layer tests: schedulers, calibration, end-to-end FAME on
+synthetic data (tiny config, CPU)."""
+
+import numpy as np
+import pytest
+
+from fairmultimodal_tpu.train import (
+    EarlyStopper,
+    PlateauScheduler,
+    calibrate_thresholds,
+)
+
+
+def test_plateau_scheduler_torch_semantics():
+    s = PlateauScheduler(lr=1.0, factor=0.1, patience=2)
+    assert s.step(1.0) == 1.0          # first value = improvement
+    assert s.step(0.99) == 1.0         # improvement
+    assert s.step(0.99) == 1.0         # bad 1
+    assert s.step(0.99) == 1.0         # bad 2
+    assert s.step(0.99) == pytest.approx(0.1)  # bad 3 > patience -> reduce
+    assert s.step(0.5) == pytest.approx(0.1)   # improvement again
+
+
+def test_early_stopper():
+    e = EarlyStopper(patience=3)
+    assert not e.step(1.0) and e.improved
+    assert not e.step(2.0) and not e.improved
+    assert not e.step(2.0)
+    assert e.step(2.0)  # third bad epoch -> stop
+
+
+def test_calibrate_thresholds_reference_tiebreak():
+    probs = np.array([[0.1], [0.4], [0.6], [0.9]])
+    labels = np.array([[0.0], [0.0], [1.0], [1.0]])
+    thr = calibrate_thresholds(probs, labels, task_names=["t"])
+    # F1 is 1.0 for any threshold in [0.4, 0.6); first grid point achieving
+    # max wins (10_FAME.py:475-480) -> 0.40.
+    assert thr["t"] == pytest.approx(0.40)
+
+
+def test_calibrate_all_negative_default():
+    probs = np.array([[0.2], [0.3]])
+    labels = np.array([[0.0], [0.0]])
+    thr = calibrate_thresholds(probs, labels, task_names=["t"])
+    assert thr["t"] == 0.5
+
+
+@pytest.mark.slow
+def test_fame_end_to_end_synthetic():
+    """Full pipeline on synthetic data: trains, calibrates, evaluates, and
+    beats chance AUROC with a tiny model."""
+    from fairmultimodal_tpu.data.synthetic import make_common_frames
+    from fairmultimodal_tpu.models.bert import BertConfig
+    from fairmultimodal_tpu.models.text import TextEncoder
+    from fairmultimodal_tpu.pipelines.fame import (
+        FAMEPipelineConfig,
+        run_fame_experiment,
+    )
+    from fairmultimodal_tpu.train.loop import TrainConfig
+
+    s, u = make_common_frames(n_patients=160, n_lab_features=12, seed=3)
+    tiny_text = TextEncoder.from_pretrained(
+        "offline/none",
+        fallback_config=BertConfig(vocab_size=512, hidden_size=32,
+                                   num_hidden_layers=1, num_attention_heads=2,
+                                   intermediate_size=64,
+                                   max_position_embeddings=64))
+    cfg = FAMEPipelineConfig(
+        train=TrainConfig(lr=5e-3, num_epochs=4, batch_size=32, lambda_edd=0.2,
+                          lambda_l1=0.001),
+        text_max_length=32, text_batch_size=16,
+        hidden_size=32, demo_layers=1, demo_heads=2, lab_layers=1, lab_heads=2,
+        fusion_hidden=16, save_artifacts=False)
+    out = run_fame_experiment(s, u, cfg, text_encoder=tiny_text, verbose=False)
+
+    assert set(out["metrics"]) == {"mortality", "los", "mechanical_ventilation"}
+    for task, m in out["metrics"].items():
+        assert np.isfinite(m["aucroc"]), task
+    # Labs carry a strong linear signal; even a tiny model should beat chance
+    # on at least one task after 4 epochs.
+    aurocs = [m["aucroc"] for m in out["metrics"].values()]
+    assert max(aurocs) > 0.6, aurocs
+    # Dynamic weights were updated and stay normalized.
+    dw = out["trainer"].dynamic_weights
+    np.testing.assert_allclose(dw.sum(axis=1), 1.0, atol=1e-5)
+    assert (dw >= 0.1 / 1.2 - 1e-6).all()
+    # History recorded per epoch; thresholds within [0, 1].
+    assert len(out["history"]) >= 1
+    assert all(0 <= t <= 1 for t in out["thresholds"].values())
