@@ -1,0 +1,274 @@
+"""The shared CLI (README.md:145-189 surface, implemented for real).
+
+Usage:
+
+    python -m fairmultimodal_tpu.cli <pipeline> [flags]
+    python scripts/10_FAME.py [flags]            # numbered wrappers
+
+Pipelines: data, behrt, bioclinicalbert, dfc, advdebias, fpm, fairehrclp,
+average, eddi, sigmoid, fame.
+
+Common flags (the README-documented set):
+  --task {mortality,los,ventilation,all}   evaluation focus (default all;
+                                           models are always 3-headed like
+                                           the reference)
+  --epochs N  --bsz N  --lr F  --lambda F  --beta F  --seed N
+  --mimic_dir DIR   raw MIMIC-III csv.gz directory (data pipeline)
+  --data_dir DIR    directory holding the two *_common.csv tables
+  --out_dir DIR     artifact directory
+  --synthetic N     run on N synthetic patients instead of real CSVs
+  --bf16            bfloat16 compute (TPU)
+  --tiny            tiny model geometry (CPU smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from typing import Optional
+
+PIPELINES = ("data", "behrt", "bioclinicalbert", "dfc", "advdebias", "fpm",
+             "fairehrclp", "average", "eddi", "sigmoid", "fame")
+
+_SCRIPT_TO_PIPELINE = {
+    "00": "data", "01": "behrt", "02": "bioclinicalbert", "03": "dfc",
+    "04": "advdebias", "05": "fpm", "06": "fairehrclp", "07": "average",
+    "08": "eddi", "09": "sigmoid", "10": "fame",
+}
+
+
+def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fairmultimodal-tpu",
+        description="TPU-native FAME: fairness-aware multimodal EHR models.")
+    if default_pipeline is None:
+        p.add_argument("pipeline", choices=PIPELINES)
+    else:
+        p.set_defaults(pipeline=default_pipeline)
+    p.add_argument("--task", choices=["mortality", "los", "ventilation", "all"],
+                   default="all")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--bsz", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lambda", dest="lambda_edd", type=float, default=None,
+                   help="EDDI loss weight (FAME/FPM)")
+    p.add_argument("--beta", type=float, default=None,
+                   help="dynamic-weight step size")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mimic_dir", default=".")
+    p.add_argument("--data_dir", default=".")
+    p.add_argument("--out_dir", default="./outputs")
+    p.add_argument("--head", type=int, default=None,
+                   help="subsample first N patients (02/05 reference behavior)")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="use N synthetic patients instead of real CSVs")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny geometry for CPU smoke runs")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def _load_frames(args):
+    import pandas as pd
+
+    if args.synthetic:
+        # Synthetic smoke runs never need HF downloads; skip the retry backoff.
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+        from fairmultimodal_tpu.data.synthetic import make_common_frames
+
+        return make_common_frames(n_patients=args.synthetic, seed=args.seed)
+    s = pd.read_csv(os.path.join(args.data_dir, "final_structured_common.csv"))
+    u = pd.read_csv(os.path.join(args.data_dir, "final_unstructured_common.csv"))
+    return s, u
+
+
+def _apply_overrides(train_cfg, args):
+    if args.epochs is not None:
+        train_cfg.num_epochs = args.epochs
+    if args.bsz is not None:
+        train_cfg.batch_size = args.bsz
+    if args.lr is not None:
+        train_cfg.lr = args.lr
+    train_cfg.seed = args.seed
+    return train_cfg
+
+
+_TINY = dict(hidden_size=64, text_batch_size=16)
+
+
+def run_pipeline(args) -> int:
+    verbose = not args.quiet
+    name = args.pipeline
+
+    if name == "data":
+        from fairmultimodal_tpu.data.etl import run_etl
+
+        if args.synthetic:
+            import tempfile
+
+            from fairmultimodal_tpu.data.synthetic import write_raw_mimic
+
+            tmp = tempfile.mkdtemp(prefix="mimic_syn_")
+            write_raw_mimic(tmp, n_subjects=args.synthetic, seed=args.seed)
+            args.mimic_dir = tmp
+        run_etl(args.mimic_dir, args.out_dir)
+        return 0
+
+    s, u = _load_frames(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    dtype = "bfloat16" if args.bf16 else "float32"
+
+    def tinyize(cfg, *, layers_attr=None):
+        if not args.tiny:
+            return cfg
+        for k, v in _TINY.items():
+            if hasattr(cfg, k):
+                setattr(cfg, k, v)
+        for attr in ("num_hidden_layers", "demo_layers", "lab_layers"):
+            if hasattr(cfg, attr):
+                setattr(cfg, attr, 1 if attr != "lab_layers" else 1)
+        for attr in ("num_attention_heads", "demo_heads", "lab_heads"):
+            if hasattr(cfg, attr):
+                setattr(cfg, attr, 2)
+        if hasattr(cfg, "text_max_length"):
+            cfg.text_max_length = min(cfg.text_max_length, 64)
+        return cfg
+
+    if name in ("fame", "fpm"):
+        from fairmultimodal_tpu.pipelines import (
+            FAMEPipelineConfig,
+            run_fame_experiment,
+        )
+        from fairmultimodal_tpu.train.loop import TrainConfig
+
+        tc = _apply_overrides(TrainConfig(), args)
+        if args.lambda_edd is not None:
+            tc.lambda_edd = args.lambda_edd
+        elif name == "fpm":
+            tc.lambda_edd = 1.0          # 05_FPM.py:920
+        if args.beta is not None:
+            tc.beta = args.beta
+        cfg = FAMEPipelineConfig(train=tc, out_dir=args.out_dir, dtype=dtype,
+                                 head=args.head or (1000 if name == "fpm" else None))
+        if args.tiny:
+            cfg.hidden_size, cfg.demo_layers, cfg.demo_heads = 64, 1, 2
+            cfg.lab_layers, cfg.lab_heads, cfg.fusion_hidden = 1, 2, 32
+            cfg.text_max_length = 64
+        run_fame_experiment(s, u, cfg, verbose=verbose)
+        return 0
+
+    if name == "behrt":
+        from fairmultimodal_tpu.pipelines import (
+            BEHRTPipelineConfig,
+            run_behrt_experiment,
+        )
+
+        cfg = BEHRTPipelineConfig(dtype=dtype)
+        _apply_overrides(cfg.train, args)
+        tinyize(cfg)
+        run_behrt_experiment(s, u, cfg, verbose=verbose)
+        return 0
+
+    if name == "bioclinicalbert":
+        from fairmultimodal_tpu.pipelines import (
+            TextOnlyPipelineConfig,
+            run_text_only_experiment,
+        )
+
+        cfg = TextOnlyPipelineConfig(head=args.head)
+        _apply_overrides(cfg.train, args)
+        tinyize(cfg)
+        run_text_only_experiment(s, u, cfg, verbose=verbose)
+        return 0
+
+    if name == "dfc":
+        from fairmultimodal_tpu.pipelines import DfCPipelineConfig, run_dfc_experiment
+
+        cfg = DfCPipelineConfig(dtype=dtype)
+        _apply_overrides(cfg.train, args)
+        tinyize(cfg)
+        run_dfc_experiment(s, u, cfg, verbose=verbose)
+        return 0
+
+    if name == "advdebias":
+        from fairmultimodal_tpu.pipelines import (
+            AdvDebiasPipelineConfig,
+            run_adv_debias_experiment,
+        )
+
+        cfg = AdvDebiasPipelineConfig(dtype=dtype)
+        _apply_overrides(cfg.train, args)
+        tinyize(cfg)
+        if args.tiny:
+            cfg.stage2_grid = {"learning_rate": [1e-3], "num_iters": [100],
+                               "num_nodes": [16], "num_nodes_adv": [8],
+                               "dropout_rate": [0.1], "alpha": [1.0]}
+        run_adv_debias_experiment(s, u, cfg, verbose=verbose)
+        return 0
+
+    if name == "fairehrclp":
+        from fairmultimodal_tpu.pipelines import (
+            FairEHRCLPPipelineConfig,
+            run_fairehr_clp_experiment,
+        )
+
+        cfg = FairEHRCLPPipelineConfig(dtype=dtype)
+        _apply_overrides(cfg.train, args)
+        tinyize(cfg)
+        run_fairehr_clp_experiment(s, u, cfg, verbose=verbose)
+        return 0
+
+    if name == "average":
+        from fairmultimodal_tpu.pipelines import (
+            AverageFusionPipelineConfig,
+            run_average_fusion_experiment,
+        )
+
+        cfg = AverageFusionPipelineConfig(dtype=dtype, out_dir=args.out_dir)
+        _apply_overrides(cfg.train, args)
+        tinyize(cfg)
+        run_average_fusion_experiment(s, u, cfg, verbose=verbose)
+        return 0
+
+    if name == "eddi":
+        from fairmultimodal_tpu.pipelines import (
+            EDDIFusionPipelineConfig,
+            run_eddi_fusion_experiment,
+        )
+
+        cfg = EDDIFusionPipelineConfig(dtype=dtype)
+        _apply_overrides(cfg.train, args)
+        if args.beta is not None:
+            cfg.beta = args.beta
+        tinyize(cfg)
+        if args.tiny:
+            cfg.demo_layers, cfg.demo_heads = 1, 2
+        run_eddi_fusion_experiment(s, u, cfg, verbose=verbose)
+        return 0
+
+    if name == "sigmoid":
+        from fairmultimodal_tpu.pipelines import (
+            SigmoidFusionPipelineConfig,
+            run_sigmoid_fusion_experiment,
+        )
+
+        cfg = SigmoidFusionPipelineConfig(dtype=dtype)
+        _apply_overrides(cfg.train, args)
+        tinyize(cfg)
+        run_sigmoid_fusion_experiment(s, u, cfg, verbose=verbose)
+        return 0
+
+    raise SystemExit(f"unknown pipeline {name!r}")
+
+
+def main(argv=None, default_pipeline: Optional[str] = None) -> int:
+    args = build_parser(default_pipeline).parse_args(argv)
+    return run_pipeline(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

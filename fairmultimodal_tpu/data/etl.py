@@ -278,14 +278,91 @@ def aggregate_lab_bins(mimic_dir: str, bin_size: int = 2) -> Optional[pd.DataFra
     return agg
 
 
+def _native_stay_arrays(icu_stays: pd.DataFrame):
+    epoch = pd.Timestamp("1970-01-01")
+    subj = icu_stays["subject_id"].to_numpy(np.int64)
+    hadm = icu_stays["hadm_id"].to_numpy(np.int64)
+    intime = ((pd.to_datetime(icu_stays["intime"]) - epoch)
+              .dt.total_seconds().to_numpy(np.float64))
+    return subj, hadm, intime
+
+
+def _aggregate_native(
+    mimic_dir: str,
+    files,
+    table_name: str,
+    icu_stays: pd.DataFrame,
+    itemids,
+    agg_func: str,
+) -> Optional[pd.DataFrame]:
+    """Native streaming path: per-file long-form aggregation via
+    ``native/fastetl`` then a cheap pandas pivot.  Only valid when
+    cross-file re-aggregation is associative (sum) or single-file (mean)."""
+    from fairmultimodal_tpu.data import native
+
+    if not native.available():
+        return None
+    file_list = files if isinstance(files, list) else [files]
+    if agg_func == "mean" and len(file_list) > 1:
+        return None      # per-file means don't combine; use pandas
+    subj, hadm, intime = _native_stay_arrays(icu_stays)
+    items = (np.asarray(sorted(itemids), np.int64)
+             if itemids else None)
+    frames = []
+    for f in file_list:
+        path = os.path.join(mimic_dir, f)
+        if not os.path.exists(path):
+            continue
+        o_subj, o_hadm, o_bin, o_item, o_val = native.aggregate_events_native(
+            path, subj, hadm, intime, items, window_hours=24.0, bin_hours=2.0,
+            agg=agg_func)
+        frames.append(pd.DataFrame({
+            "subject_id": o_subj, "hadm_id": o_hadm, "hour_bin": o_bin,
+            "itemid": o_item, "value": o_val}))
+    if not frames:
+        return None
+    long = pd.concat(frames, ignore_index=True)
+    if len(frames) > 1:  # sum across files (reference concatenates first)
+        long = (long.groupby(["subject_id", "hadm_id", "hour_bin", "itemid"])
+                ["value"].sum().reset_index())
+    agg = (long.set_index(["subject_id", "hadm_id", "hour_bin", "itemid"])
+           ["value"].unstack().reset_index())
+    if "hour_bin" in agg.columns:
+        agg = agg.drop(columns=["hour_bin"])
+    agg.columns = ["subject_id", "hadm_id"] + [
+        f"{table_name}_t{int(c)}" for c in agg.columns[2:]
+    ]
+    return agg
+
+
 def aggregate_feature_table(
     mimic_dir: str,
     table_name: str,
     filtered_subjects: set,
     icu_stays: pd.DataFrame,
+    use_native: Optional[bool] = None,
 ) -> Optional[pd.DataFrame]:
     """One feature-set-C table -> wide ``<table>_t<itemid>`` columns
-    (00_data.py:200-256). sum for input/output events, mean otherwise."""
+    (00_data.py:200-256). sum for input/output events, mean otherwise.
+
+    When the native streaming aggregator is available (``native/fastetl``)
+    the multi-hundred-million-row tables are scanned in C++ without
+    materializing the frame; pandas is the fallback and the semantics oracle
+    (tests/test_native.py).  ``prescriptions`` has no itemid column and
+    always uses pandas.
+    """
+    if table_name != "prescriptions" and use_native is not False:
+        stays = icu_stays[icu_stays["subject_id"].isin(filtered_subjects)]
+        agg_func = "sum" if table_name in ("inputevents", "outputevents") else "mean"
+        try:
+            out = _aggregate_native(
+                mimic_dir, INPUT_FILES[table_name], table_name, stays,
+                FEATURE_SET_C.get(table_name, []), agg_func)
+            if out is not None:
+                return out
+        except Exception:
+            if use_native:
+                raise
     files = INPUT_FILES[table_name]
     if isinstance(files, list):
         df = pd.concat([_read(mimic_dir, f) for f in files], ignore_index=True)

@@ -20,6 +20,18 @@ from fairmultimodal_tpu.models.text import (
     TextEncoder,
     encode_note_chunks,
 )
+from fairmultimodal_tpu.models.baselines import (
+    BEHRTFull,
+    StructTextModel,
+    TextOnlyClassifier,
+    SigmoidFusionFull,
+    EDDIFusionFull,
+    BEHRTLabOnlyModel,
+)
+from fairmultimodal_tpu.models.fairehr import (
+    FairEHRCLP,
+    contrastive_loss,
+)
 
 __all__ = [
     "BertConfig",
@@ -35,4 +47,12 @@ __all__ = [
     "EDDIFusionModel",
     "TextEncoder",
     "encode_note_chunks",
+    "BEHRTFull",
+    "StructTextModel",
+    "TextOnlyClassifier",
+    "SigmoidFusionFull",
+    "EDDIFusionFull",
+    "BEHRTLabOnlyModel",
+    "FairEHRCLP",
+    "contrastive_loss",
 ]

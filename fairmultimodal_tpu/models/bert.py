@@ -160,7 +160,12 @@ def load_hf_bert_params(model_name_or_path: str, config: Optional[BertConfig] = 
     try:
         import transformers
 
-        hf = transformers.BertModel.from_pretrained(model_name_or_path)
+        try:
+            # Local cache first — avoids 5x retry backoff on no-egress boxes.
+            hf = transformers.BertModel.from_pretrained(
+                model_name_or_path, local_files_only=True)
+        except Exception:
+            hf = transformers.BertModel.from_pretrained(model_name_or_path)
     except Exception as e:  # pragma: no cover - environment dependent
         raise FileNotFoundError(
             f"Cannot load HF weights for {model_name_or_path!r} "

@@ -246,6 +246,7 @@ class DfCModel(nn.Module):
     num_discharge_locs: int = 10
     hidden_size: int = 768
     num_hidden_layers: int = 12
+    num_attention_heads: int = 12
     proj_dim: int = 256
     num_tasks: int = 3
     dtype: Any = jnp.float32
@@ -256,7 +257,9 @@ class DfCModel(nn.Module):
 
         vocab = self.num_segments + self.num_admission_locs + self.num_discharge_locs + 2
         cfg = BertConfig(vocab_size=max(vocab, 4), hidden_size=self.hidden_size,
-                         num_hidden_layers=self.num_hidden_layers)
+                         num_hidden_layers=self.num_hidden_layers,
+                         num_attention_heads=self.num_attention_heads,
+                         intermediate_size=self.hidden_size * 4)
         cls = BertEncoderModel(cfg, dtype=self.dtype, name="bert")(
             batch["dummy_ids"], batch["attn_mask"], deterministic=deterministic,
             pool="cls")

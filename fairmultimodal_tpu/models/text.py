@@ -40,16 +40,19 @@ class HashingTokenizer:
     / SEP=102 / PAD=0 convention so downstream code is tokenizer-agnostic.
     """
 
-    cls_token_id = 101
-    sep_token_id = 102
     pad_token_id = 0
 
     def __init__(self, vocab_size: int = 28996):
         self.vocab_size = vocab_size
+        # HF-convention ids for real-sized vocabs; compact ids for tiny test
+        # vocabs (any base >= vocab would produce out-of-range gathers).
+        self.cls_token_id = 101 if vocab_size > 1000 else 1
+        self.sep_token_id = 102 if vocab_size > 1000 else 2
+        self._base = 1000 if vocab_size > 1000 else 3
 
     def _tok(self, word: str) -> int:
         h = int.from_bytes(hashlib.blake2s(word.encode(), digest_size=4).digest(), "little")
-        return 1000 + (h % (self.vocab_size - 1000))
+        return self._base + (h % (self.vocab_size - self._base))
 
     def encode(self, text: str, max_length: int = 512) -> Tuple[np.ndarray, np.ndarray]:
         ids = [self.cls_token_id] + [self._tok(w) for w in text.split()][: max_length - 2]
@@ -182,7 +185,13 @@ def encode_note_chunks(
         nz = counts > 0
         out[nz] /= counts[nz, None]
     elif aggregation == "max":
-        np.maximum.at(out, owners_arr, embs)
+        # -inf init so negative components survive the max; note-less
+        # patients keep the zero vector.
+        tmp = np.full((n_patients, hidden), -np.inf, np.float32)
+        np.maximum.at(tmp, owners_arr, embs)
+        has = np.zeros(n_patients, bool)
+        has[owners_arr] = True
+        out[has] = tmp[has]
     else:
         raise ValueError(f"unknown aggregation {aggregation!r}")
     return out

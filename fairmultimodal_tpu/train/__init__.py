@@ -9,6 +9,12 @@ from fairmultimodal_tpu.train.loop import (
     FAMETrainer,
 )
 from fairmultimodal_tpu.train.calibrate import calibrate_thresholds
+from fairmultimodal_tpu.train.simple import MultitaskTrainer, SimpleTrainConfig
+from fairmultimodal_tpu.train.adversarial import (
+    AdvConfig,
+    adv_grid_search,
+    train_adversarial,
+)
 
 __all__ = [
     "TrainConfig",
@@ -16,4 +22,9 @@ __all__ = [
     "EarlyStopper",
     "FAMETrainer",
     "calibrate_thresholds",
+    "MultitaskTrainer",
+    "SimpleTrainConfig",
+    "AdvConfig",
+    "adv_grid_search",
+    "train_adversarial",
 ]

@@ -1,0 +1,291 @@
+"""Adversarial debiasing engine (04_AdvDebias.py:559-789, stage 2).
+
+A predictor MLP (X -> hidden -> 1, sigmoid) is trained jointly against an
+adversary MLP that tries to recover the (binarized) sensitive attribute from
+``(y_hat, y)``; the predictor minimizes
+
+    L_pred - alpha * L_adv + L_pred / (L_adv + 1e-8)        (04:720)
+
+while the adversary minimizes ``L_adv`` with its own optimizer.  The
+reference runs full-batch Adam for ``num_iters`` iterations over an
+``itertools.product`` hyperparameter grid (04:569-585), after 1:20
+case/control matching (04:677-692) and SMOTEENN resampling (04:694-702).
+
+TPU design: the min-max update is ONE jitted step — both gradient passes and
+both optimizer updates fused into a single XLA program over the full batch
+(the reference's two ``backward()`` calls per iteration become two
+``jax.grad`` calls in the same graph).  SMOTEENN runs host-side via imblearn
+when available; otherwise a documented fallback (random minority
+oversampling) keeps the pipeline runnable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+__all__ = ["AdvConfig", "AdvPredictor", "AdvAdversary", "train_adversarial",
+           "adv_grid_search", "match_case_control", "resample_smoteenn",
+           "adv_metrics"]
+
+
+@dataclasses.dataclass
+class AdvConfig:
+    """One grid point (reference hyperparameter_list, 04:569-585)."""
+
+    learning_rate: float = 1e-3
+    num_iters: int = 1000
+    num_nodes: int = 64
+    num_nodes_adv: int = 32
+    dropout_rate: float = 0.1
+    alpha: float = 1.0
+    adversarial: bool = True
+    seed: int = 25
+
+
+class AdvPredictor(nn.Module):
+    """X -> num_nodes -> 1 logits (reference applies Sigmoid in-module and
+    BCELoss; we keep logits + BCE-with-logits for numerical stability —
+    identical math)."""
+
+    num_nodes: int = 64
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.relu(nn.Dense(self.num_nodes, name="fc1")(x))
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(1, name="fc2")(h)
+
+
+class AdvAdversary(nn.Module):
+    """(y_hat, y) -> num_nodes_adv -> 1 logits (04:639-655)."""
+
+    num_nodes_adv: int = 32
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.relu(nn.Dense(self.num_nodes_adv, name="fc1")(x))
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(1, name="fc2")(h)
+
+
+def _bce(logits, y):
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, y))
+
+
+def match_case_control(y: np.ndarray, match_number: int = 20,
+                       seed: int = 0) -> np.ndarray:
+    """1:``match_number`` case/control matching indices (04:677-692)."""
+    rng = np.random.default_rng(seed)
+    idx_case = np.flatnonzero(y == 1)
+    idx_control = np.flatnonzero(y == 0)
+    matched: List[int] = []
+    for _ in idx_case:
+        k = min(match_number, len(idx_control))
+        matched.extend(rng.choice(idx_control, size=k, replace=False).tolist())
+    return np.concatenate([np.asarray(matched, np.int64), idx_case])
+
+
+def resample_smoteenn(X: np.ndarray, y: np.ndarray, z: np.ndarray,
+                      seed: int = 25) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SMOTEENN over [X | z] as the reference does (04:694-702); falls back
+    to random minority oversampling when imblearn is unavailable."""
+    Xz = np.concatenate([X, z.reshape(-1, 1)], axis=1)
+    try:
+        from imblearn.combine import SMOTEENN
+        from imblearn.under_sampling import EditedNearestNeighbours
+
+        res = SMOTEENN(enn=EditedNearestNeighbours(sampling_strategy="majority"),
+                       random_state=seed)
+        Xz_r, y_r = res.fit_resample(Xz, y)
+    except Exception:
+        rng = np.random.default_rng(seed)
+        pos = np.flatnonzero(y == 1)
+        neg = np.flatnonzero(y == 0)
+        if len(pos) == 0 or len(neg) == 0:
+            Xz_r, y_r = Xz, y
+        else:
+            n_extra = max(len(neg) - len(pos), 0)
+            extra = rng.choice(pos, size=n_extra, replace=True)
+            keep = np.concatenate([np.arange(len(y)), extra])
+            Xz_r, y_r = Xz[keep], y[keep]
+    return Xz_r[:, :-1], np.asarray(y_r, np.float32), (Xz_r[:, -1] > 0).astype(np.float32)
+
+
+def train_adversarial(
+    X: np.ndarray, y: np.ndarray, z: np.ndarray,
+    Xval: np.ndarray, yval: np.ndarray, zval: np.ndarray,
+    cfg: AdvConfig,
+    verbose: bool = True,
+    log_every: int = 100,
+) -> Dict:
+    """Full-batch adversarial min-max training of one grid point.
+
+    Returns dict with predictor/adversary params, loss curves and validation
+    predictions.
+    """
+    pred = AdvPredictor(cfg.num_nodes, cfg.dropout_rate)
+    adv = AdvAdversary(cfg.num_nodes_adv, cfg.dropout_rate)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k1, k2 = jax.random.split(key)
+    X_d = jnp.asarray(X, jnp.float32)
+    y_d = jnp.asarray(y, jnp.float32).reshape(-1, 1)
+    z_d = jnp.asarray(z, jnp.float32).reshape(-1, 1)
+    p_params = pred.init(k1, X_d[:1])["params"]
+    a_params = adv.init(k2, jnp.zeros((1, 2)))["params"]
+    p_tx = optax.adam(cfg.learning_rate)
+    a_tx = optax.adam(cfg.learning_rate)
+    p_state = p_tx.init(p_params)
+    a_state = a_tx.init(a_params)
+
+    def pred_loss(pp, ap):
+        logits = pred.apply({"params": pp}, X_d)
+        l_pred = _bce(logits, y_d)
+        if not cfg.adversarial:
+            return l_pred, (l_pred, jnp.float32(0.0))
+        yhat = jax.nn.sigmoid(logits)
+        adv_in = jnp.concatenate([yhat, y_d], axis=1)
+        l_adv = _bce(adv.apply({"params": ap}, adv_in), z_d)
+        combined = l_pred - cfg.alpha * l_adv + l_pred / (l_adv + 1e-8)
+        return combined, (l_pred, l_adv)
+
+    def adv_loss(ap, pp):
+        logits = pred.apply({"params": pp}, X_d)
+        yhat = jax.nn.sigmoid(logits)
+        adv_in = jnp.concatenate([yhat, y_d], axis=1)
+        return _bce(adv.apply({"params": ap}, adv_in), z_d)
+
+    @jax.jit
+    def step(pp, ps, ap, as_):
+        (combined, (l_pred, l_adv)), p_grads = jax.value_and_grad(
+            pred_loss, has_aux=True)(pp, ap)
+        p_updates, ps = p_tx.update(p_grads, ps, pp)
+        pp = optax.apply_updates(pp, p_updates)
+        if cfg.adversarial:
+            a_grads = jax.grad(adv_loss)(ap, pp)
+            a_updates, as_ = a_tx.update(a_grads, as_, ap)
+            ap = optax.apply_updates(ap, a_updates)
+        return pp, ps, ap, as_, combined, l_pred, l_adv
+
+    train_curve, valid_curve = [], []
+    Xv = jnp.asarray(Xval, jnp.float32)
+    yv = jnp.asarray(yval, jnp.float32).reshape(-1, 1)
+    zv = jnp.asarray((np.asarray(zval) > 0).astype(np.float32)).reshape(-1, 1)
+
+    @jax.jit
+    def valid_losses(pp, ap):
+        logits = pred.apply({"params": pp}, Xv)
+        l_pred = _bce(logits, yv)
+        if not cfg.adversarial:
+            return l_pred
+        yhat = jax.nn.sigmoid(logits)
+        l_adv = _bce(adv.apply({"params": ap}, jnp.concatenate([yhat, yv], 1)), zv)
+        return l_pred - cfg.alpha * l_adv + l_pred / (l_adv + 1e-8)
+
+    for t in range(cfg.num_iters):
+        p_params, p_state, a_params, a_state, combined, l_pred, l_adv = step(
+            p_params, p_state, a_params, a_state)
+        if t % log_every == 0:
+            vl = float(valid_losses(p_params, a_params))
+            train_curve.append(float(combined))
+            valid_curve.append(vl)
+            if verbose:
+                print(f"Iteration: {t}, Train Loss: {float(combined):.4f}, "
+                      f"Valid Loss: {vl:.4f}")
+
+    yhat_val = np.asarray(jax.nn.sigmoid(pred.apply({"params": p_params}, Xv)))
+    return {
+        "predictor_params": p_params,
+        "adversary_params": a_params,
+        "train_curve": train_curve,
+        "valid_curve": valid_curve,
+        "yhat_valid": yhat_val,
+    }
+
+
+def adv_metrics(yhat: np.ndarray, y: np.ndarray, z: np.ndarray,
+                threshold: float = 0.5, prevalence: float = 0.05) -> Dict[str, float]:
+    """Reference get_metrics block (04:791-815): accuracy/recall/precision/
+    specificity/PPV/NPV at an assumed prevalence, F1, AUROC, per-z-group
+    recall gap."""
+    from sklearn.metrics import roc_auc_score
+
+    yhat = np.asarray(yhat).reshape(-1)
+    y = np.asarray(y).reshape(-1)
+    z = np.asarray(z).reshape(-1)
+    pred = (yhat > threshold).astype(int)
+    tp = int(((pred == 1) & (y == 1)).sum())
+    tn = int(((pred == 0) & (y == 0)).sum())
+    fp = int(((pred == 1) & (y == 0)).sum())
+    fn = int(((pred == 0) & (y == 1)).sum())
+    sens = tp / (tp + fn) if tp + fn else 0.0
+    spec = tn / (tn + fp) if tn + fp else 0.0
+    ppv = (sens * prevalence) / max(
+        sens * prevalence + (1 - spec) * (1 - prevalence), 1e-12)
+    npv = (spec * (1 - prevalence)) / max(
+        (1 - sens) * prevalence + spec * (1 - prevalence), 1e-12)
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    f1 = 2 * prec * sens / max(prec + sens, 1e-12)
+    try:
+        auroc = float(roc_auc_score(y, yhat))
+    except Exception:
+        auroc = float("nan")
+    gaps = []
+    for g in (0.0, 1.0):
+        m = z == g
+        if m.any() and (y[m] == 1).any():
+            gp = ((pred[m] == 1) & (y[m] == 1)).sum() / max((y[m] == 1).sum(), 1)
+            gaps.append(float(gp))
+    recall_gap = abs(gaps[0] - gaps[1]) if len(gaps) == 2 else float("nan")
+    return {"accuracy": (tp + tn) / max(len(y), 1), "recall": sens,
+            "precision": prec, "specificity": spec, "PPV": ppv, "NPV": npv,
+            "f1": f1, "auroc": auroc, "recall_gap_z": recall_gap}
+
+
+def adv_grid_search(
+    X, y, z, Xval, yval, zval,
+    grid: Optional[Dict[str, List]] = None,
+    adversarial: bool = True,
+    match_number: int = 20,
+    use_data_as_is: bool = False,
+    verbose: bool = True,
+) -> List[Dict]:
+    """Reference two-stage protocol: matching + SMOTEENN once, then the
+    hyperparameter product grid (04:569-585,664-702).  Returns one result
+    dict (config, metrics, curves) per grid point."""
+    grid = grid or {
+        "learning_rate": [1e-3], "num_iters": [500], "num_nodes": [64],
+        "num_nodes_adv": [32], "dropout_rate": [0.1], "alpha": [1.0],
+    }
+    y = np.asarray(y, np.float32)
+    z = (np.asarray(z) > 0).astype(np.float32)
+    if not use_data_as_is:
+        keep = match_case_control(y, match_number)
+        X, y, z = X[keep], y[keep], z[keep]
+    X, y, z = resample_smoteenn(X, y, z)
+
+    results = []
+    keys = list(grid)
+    for values in itertools.product(*(grid[k] for k in keys)):
+        cfg = AdvConfig(**dict(zip(keys, values)), adversarial=adversarial)
+        out = train_adversarial(X, y, z, Xval, yval, zval, cfg, verbose=verbose)
+        metrics = adv_metrics(out["yhat_valid"], yval, zval)
+        results.append({"config": dataclasses.asdict(cfg), "metrics": metrics,
+                        "train_curve": out["train_curve"],
+                        "valid_curve": out["valid_curve"],
+                        "predictor_params": out["predictor_params"],
+                        "adversary_params": out["adversary_params"]})
+        if verbose:
+            print("Training complete for hyperparameter setting:",
+                  dict(zip(keys, values)))
+    return results

@@ -110,8 +110,9 @@ class EarlyStopper:
         return self.counter >= self.patience
 
 
-def _batch_to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
-    return {k: jnp.asarray(v) for k, v in batch.items()}
+def _batch_to_device(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Nested batch dict -> device arrays (leaf-wise; batches are pytrees)."""
+    return jax.tree_util.tree_map(jnp.asarray, batch)
 
 
 class FAMETrainer:
@@ -318,7 +319,8 @@ class FAMETrainer:
         opt_state = self.init_opt_state(params)
         sched = PlateauScheduler(cfg.lr, cfg.scheduler_factor, cfg.scheduler_patience)
         stopper = EarlyStopper(cfg.patience)
-        best_params = params
+        # Copy: the live params buffers are donated into the first train step.
+        best_params = jax.tree_util.tree_map(jnp.copy, params)
         csv_rows = [("Epoch", "Outcome", "demo_weight", "lab_weight", "text_weight")]
 
         for epoch in range(cfg.num_epochs):
@@ -333,7 +335,10 @@ class FAMETrainer:
                       f"Val Loss: {val_loss:.4f} ({time.time() - t0:.1f}s)")
             stop = stopper.step(val_loss)
             if stopper.improved:
-                best_params = jax.tree_util.tree_map(lambda x: x, params)
+                # Real device copy: the live params buffers are donated into
+                # the next train step, so an aliasing capture would be
+                # invalidated (donate_argnums=(0, 1)).
+                best_params = jax.tree_util.tree_map(jnp.copy, params)
                 if verbose:
                     print("Validation loss improved. Saving model...")
             elif verbose:

@@ -1,0 +1,10 @@
+#!/usr/bin/env python
+"""Numbered entry point: the sigmoid pipeline with the shared CLI
+(see fairmultimodal_tpu/cli/main.py; reference script FinalCode/New/Final/09_multimodal_sigmoid_fusion*)."""
+
+import sys
+
+from fairmultimodal_tpu.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main(default_pipeline="sigmoid"))

@@ -1,0 +1,121 @@
+"""Native (C++) ETL aggregator parity vs a pandas reference implementation.
+
+Builds ``native/libfastetl.so`` on demand (g++ + zlib, always present in the
+toolchain); skips cleanly if the build is impossible.
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fairmultimodal_tpu.data import native
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("native fastetl library unavailable")
+    return True
+
+
+def _write_events(path, rng, stays, n_rows=500, quoted=False):
+    rows = []
+    base = pd.Timestamp("2150-01-01")
+    for _ in range(n_rows):
+        i = rng.integers(0, len(stays))
+        subj, hadm, intime = stays[i]
+        dt = float(rng.uniform(-5, 40))          # some rows out of window
+        t = intime + pd.Timedelta(hours=dt)
+        itemid = int(rng.choice([100, 200, 300, 400]))
+        val = float(rng.uniform(0, 50))
+        raw = f"{val:.4f}"
+        if rng.random() < 0.05:
+            raw = "Ventilator"                   # non-numeric -> skipped
+        rows.append({"SUBJECT_ID": subj, "HADM_ID": hadm,
+                     "CHARTTIME": t.strftime("%Y-%m-%d %H:%M:%S"),
+                     "ITEMID": itemid,
+                     "VALUE": f'"{raw}"' if quoted else raw})
+    df = pd.DataFrame(rows)
+    with gzip.open(path, "wt") as f:
+        f.write(",".join(df.columns) + "\n")
+        for _, r in df.iterrows():
+            f.write(",".join(str(v) for v in r.values) + "\n")
+    return df
+
+
+def _pandas_reference(df, stays, itemids, agg):
+    base = pd.Timestamp("1970-01-01")
+    stay_df = pd.DataFrame(
+        [{"subject_id": s, "hadm_id": h,
+          "intime_epoch": (t - base).total_seconds()} for s, h, t in stays])
+    d = df.copy()
+    d.columns = [c.lower() for c in d.columns]
+    d["value"] = pd.to_numeric(d["value"].astype(str).str.strip('"'),
+                               errors="coerce")
+    d = d.dropna(subset=["value"])
+    d = d.merge(stay_df, on=["subject_id", "hadm_id"])
+    t = pd.to_datetime(d["charttime"])
+    d["hours"] = ((t - base).dt.total_seconds() - d["intime_epoch"]) / 3600.0
+    d = d[d["hours"].between(0, 24)]
+    if itemids is not None:
+        d = d[d["itemid"].isin(itemids)]
+    d["bin"] = (d["hours"] // 2).astype(int)
+    g = d.groupby(["subject_id", "hadm_id", "bin", "itemid"])["value"]
+    out = (g.sum() if agg == "sum" else g.mean()).reset_index()
+    return out.sort_values(["subject_id", "hadm_id", "bin", "itemid"])
+
+
+@pytest.mark.parametrize("agg", ["mean", "sum"])
+@pytest.mark.parametrize("quoted", [False, True])
+def test_aggregate_parity(tmp_path, lib_ok, agg, quoted):
+    rng = np.random.default_rng(1 if quoted else 0)
+    base = pd.Timestamp("2150-01-01")
+    stays = [(1000 + i, 5000 + i,
+              base + pd.Timedelta(days=int(rng.integers(0, 50))))
+             for i in range(12)]
+    path = str(tmp_path / f"events_{agg}_{quoted}.csv.gz")
+    df = _write_events(path, rng, stays, quoted=quoted)
+
+    epoch = pd.Timestamp("1970-01-01")
+    subj = np.array([s for s, _, _ in stays], np.int64)
+    hadm = np.array([h for _, h, _ in stays], np.int64)
+    intime = np.array([(t - epoch).total_seconds() for _, _, t in stays])
+    itemids = np.array([100, 200, 300], np.int64)       # drop 400
+
+    o_subj, o_hadm, o_bin, o_item, o_val = native.aggregate_events_native(
+        path, subj, hadm, intime, itemids, window_hours=24.0, bin_hours=2.0,
+        agg=agg)
+    ref = _pandas_reference(df, stays, set(itemids.tolist()), agg)
+
+    assert len(o_subj) == len(ref), (len(o_subj), len(ref))
+    np.testing.assert_array_equal(o_subj, ref["subject_id"].to_numpy())
+    np.testing.assert_array_equal(o_hadm, ref["hadm_id"].to_numpy())
+    np.testing.assert_array_equal(o_bin, ref["bin"].to_numpy())
+    np.testing.assert_array_equal(o_item, ref["itemid"].to_numpy())
+    np.testing.assert_allclose(o_val, ref["value"].to_numpy(), rtol=1e-10)
+
+
+def test_no_itemid_filter(tmp_path, lib_ok):
+    rng = np.random.default_rng(2)
+    base = pd.Timestamp("2150-01-01")
+    stays = [(1, 10, base), (2, 20, base + pd.Timedelta(days=3))]
+    path = str(tmp_path / "events.csv.gz")
+    df = _write_events(path, rng, stays, n_rows=100)
+    epoch = pd.Timestamp("1970-01-01")
+    subj = np.array([s for s, _, _ in stays], np.int64)
+    hadm = np.array([h for _, h, _ in stays], np.int64)
+    intime = np.array([(t - epoch).total_seconds() for _, _, t in stays])
+    o = native.aggregate_events_native(path, subj, hadm, intime, None)
+    ref = _pandas_reference(df, stays, None, "mean")
+    assert len(o[0]) == len(ref)
+    np.testing.assert_allclose(o[4], ref["value"].to_numpy(), rtol=1e-10)
+
+
+def test_missing_file_raises(lib_ok):
+    with pytest.raises(RuntimeError, match="cannot open"):
+        native.aggregate_events_native(
+            "/nonexistent/file.csv.gz", np.zeros(1, np.int64),
+            np.zeros(1, np.int64), np.zeros(1))

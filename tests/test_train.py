@@ -65,8 +65,10 @@ def test_fame_end_to_end_synthetic():
                                    num_hidden_layers=1, num_attention_heads=2,
                                    intermediate_size=64,
                                    max_position_embeddings=64))
+    # lr 1e-3: at 5e-3 the 16-unit fusion ReLU dies within a few steps on
+    # this tiny config and logits collapse to constants.
     cfg = FAMEPipelineConfig(
-        train=TrainConfig(lr=5e-3, num_epochs=4, batch_size=32, lambda_edd=0.2,
+        train=TrainConfig(lr=1e-3, num_epochs=6, batch_size=32, lambda_edd=0.2,
                           lambda_l1=0.001),
         text_max_length=32, text_batch_size=16,
         hidden_size=32, demo_layers=1, demo_heads=2, lab_layers=1, lab_heads=2,
@@ -77,7 +79,7 @@ def test_fame_end_to_end_synthetic():
     for task, m in out["metrics"].items():
         assert np.isfinite(m["aucroc"]), task
     # Labs carry a strong linear signal; even a tiny model should beat chance
-    # on at least one task after 4 epochs.
+    # on at least one task after 6 epochs.
     aurocs = [m["aucroc"] for m in out["metrics"].values()]
     assert max(aurocs) > 0.6, aurocs
     # Dynamic weights were updated and stay normalized.
