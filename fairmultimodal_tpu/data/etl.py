@@ -446,6 +446,17 @@ def build_structured(mimic_dir: str, out_dir: str, los_threshold_hours: float = 
     df["icu_los"] = (df["OUTTIME"] - df["INTIME"]).dt.total_seconds() / 3600
     df["los_binary"] = (df["icu_los"] > los_threshold_hours).astype(int)
 
+    # Legacy-era labels kept in the inventory (Code/1_preprocessing_structured
+    # .py:24-28; used by the FinalCode mortality+readmission generation):
+    # readmission = next admission within 30 days of this discharge.
+    adm_sorted = admissions.sort_values(["subject_id", "ADMITTIME"]).copy()
+    adm_sorted["next_admit"] = adm_sorted.groupby("subject_id")["ADMITTIME"].shift(-1)
+    gap_days = (adm_sorted["next_admit"] - adm_sorted["DISCHTIME"]).dt.total_seconds() / 86400.0
+    adm_sorted["readmission_within_30d"] = ((gap_days >= 0) & (gap_days <= 30)).astype(int)
+    df = pd.merge(df, adm_sorted[["subject_id", "hadm_id", "readmission_within_30d"]],
+                  on=["subject_id", "hadm_id"], how="left")
+    df["readmission_within_30d"] = df["readmission_within_30d"].fillna(0).astype(int)
+
     vent = compute_ventilation_flags(mimic_dir)
     df = pd.merge(df, vent, on=["subject_id", "hadm_id"], how="left")
     df["mechanical_ventilation"] = df["mechanical_ventilation"].fillna(0).astype(int)

@@ -52,8 +52,10 @@ def _can_use_pallas(q: jax.Array) -> bool:
     if jax.default_backend() not in ("tpu",):
         return False
     b, h, s, d = q.shape
-    # Tile alignment: the kernel processes 128-row blocks of fp32/bf16 tiles.
-    return s % 128 == 0 and d in (64, 128) and s >= 256
+    # Tile alignment: 128-divisible sequence; head dims the kernel is
+    # validated on (96 = the reference lab encoder's 768/8 geometry —
+    # sub-128 lanes lower fine through Mosaic).
+    return s % 128 == 0 and d in (32, 64, 96, 128) and s >= 256
 
 
 def multi_head_attention(
