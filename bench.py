@@ -14,6 +14,7 @@ ratio is comparable across rounds.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -21,7 +22,7 @@ import numpy as np
 A100_BASELINE_PATIENTS_PER_SEC = 730.0  # documented estimate, see module docstring
 
 LABS = 549
-BATCH = 128
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 
 
 def main():

@@ -55,6 +55,7 @@ class FAMEPipelineConfig:
     reference_compat: bool = False
     mesh: Optional[object] = None
     save_artifacts: bool = True
+    checkpoint_dir: Optional[str] = None   # enables orbax per-epoch resume
     # Tiny-model overrides for CPU smoke runs (None = reference sizes).
     hidden_size: int = 768
     demo_layers: int = 12
@@ -187,8 +188,14 @@ def run_fame_experiment(
 
     example = next(iter(loaders["train"]))
     params = trainer.init_params(example)
+    checkpointer = None
+    if cfg.checkpoint_dir:
+        from fairmultimodal_tpu.utils.checkpoint import Checkpointer
+
+        checkpointer = Checkpointer(cfg.checkpoint_dir)
     best_params, history = trainer.fit(params, loaders["train"], loaders["val"],
-                                       verbose=verbose)
+                                       verbose=verbose,
+                                       checkpointer=checkpointer)
 
     # Threshold calibration on validation (10_FAME:868).
     _, val_logits, val_labels = trainer.validate(best_params, loaders["val"])

@@ -312,9 +312,16 @@ class FAMETrainer:
         return self.dynamic_weights
 
     def fit(self, params, train_loader, val_loader, verbose: bool = True,
-            on_epoch_end: Optional[Callable] = None):
+            on_epoch_end: Optional[Callable] = None, checkpointer=None):
         """Full protocol: epochs + plateau LR + early stop + best-state capture
-        + per-epoch dynamic weight updates.  Returns (best_params, history)."""
+        + per-epoch dynamic weight updates.  Returns (best_params, history).
+
+        ``checkpointer`` (a ``utils.checkpoint.Checkpointer``) enables
+        restartable training — absent in the reference (SURVEY §5,
+        save-best-only): the full train state (params, opt state, best
+        params, dynamic weights, schedule counters) is saved per epoch and
+        restored automatically when a checkpoint exists.
+        """
         cfg = self.config
         opt_state = self.init_opt_state(params)
         sched = PlateauScheduler(cfg.lr, cfg.scheduler_factor, cfg.scheduler_patience)
@@ -322,8 +329,33 @@ class FAMETrainer:
         # Copy: the live params buffers are donated into the first train step.
         best_params = jax.tree_util.tree_map(jnp.copy, params)
         csv_rows = [("Epoch", "Outcome", "demo_weight", "lab_weight", "text_weight")]
+        start_epoch = 0
 
-        for epoch in range(cfg.num_epochs):
+        if checkpointer is not None:
+            latest = checkpointer.latest_step()
+            if latest is not None:
+                template = {
+                    "params": params, "opt_state": opt_state,
+                    "best_params": best_params,
+                    "dynamic_weights": self.dynamic_weights,
+                    "scalars": np.zeros(5, np.float64),
+                }
+                state = checkpointer.restore(latest, template)
+                params = state["params"]
+                opt_state = state["opt_state"]
+                best_params = state["best_params"]
+                self.dynamic_weights = np.asarray(state["dynamic_weights"],
+                                                  np.float32)
+                sched.lr, sched.best, sched.num_bad, stopper.best, \
+                    stopper.counter = state["scalars"].tolist()
+                sched.num_bad = int(sched.num_bad)
+                stopper.counter = int(stopper.counter)
+                opt_state = self.set_lr(opt_state, sched.lr)
+                start_epoch = latest
+                if verbose:
+                    print(f"Resumed from checkpoint at epoch {latest}.")
+
+        for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.time()
             params, opt_state, train_loss, train_bce = self.train_epoch(
                 params, opt_state, train_loader)
@@ -357,6 +389,15 @@ class FAMETrainer:
                 csv_rows.append((epoch + 1, task, *[f"{v:.6f}" for v in new_w[ti]]))
             sig = jax.nn.sigmoid(params["fusion"]["sig_weights"])
             self.tracked_sigmoid_weights.append(np.asarray(sig))
+            if checkpointer is not None:
+                checkpointer.save(epoch + 1, {
+                    "params": params, "opt_state": opt_state,
+                    "best_params": best_params,
+                    "dynamic_weights": self.dynamic_weights,
+                    "scalars": np.asarray([sched.lr, sched.best, sched.num_bad,
+                                           stopper.best, stopper.counter],
+                                          np.float64),
+                })
             if on_epoch_end is not None:
                 on_epoch_end(epoch, params)
 

@@ -62,6 +62,9 @@ class Checkpointer:
     def save(self, step: int, state: Dict[str, Any]) -> str:
         path = os.path.join(self.directory, f"step_{step}")
         self._ckpt.save(path, state, force=True)
+        # StandardCheckpointer commits asynchronously; block so the
+        # checkpoint is durable before training proceeds (resume safety).
+        self._ckpt.wait_until_finished()
         return path
 
     def restore(self, step: int, like: Dict[str, Any]) -> Dict[str, Any]:
