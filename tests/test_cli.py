@@ -1,0 +1,53 @@
+"""CLI surface tests: the README-documented shared flags parse, dispatch to
+every pipeline, and a tiny synthetic run executes end-to-end."""
+
+import os
+import sys
+
+import pytest
+
+from fairmultimodal_tpu.cli import build_parser, main
+from fairmultimodal_tpu.cli.main import PIPELINES, _SCRIPT_TO_PIPELINE
+
+
+def test_parser_accepts_documented_flags():
+    p = build_parser()
+    args = p.parse_args(["fame", "--task", "mortality", "--epochs", "3",
+                         "--bsz", "8", "--lr", "1e-4", "--lambda", "0.5",
+                         "--beta", "0.9", "--seed", "7",
+                         "--mimic_dir", "/x", "--out_dir", "/y"])
+    assert args.pipeline == "fame"
+    assert args.epochs == 3 and args.bsz == 8
+    assert args.lr == pytest.approx(1e-4)
+    assert args.lambda_edd == pytest.approx(0.5)
+    assert args.beta == pytest.approx(0.9)
+
+
+def test_all_numbered_scripts_have_wrappers():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts = os.listdir(os.path.join(here, "scripts"))
+    for num, pipeline in _SCRIPT_TO_PIPELINE.items():
+        assert any(s.startswith(num + "_") for s in scripts), num
+        assert pipeline in PIPELINES
+
+
+def test_default_pipeline_wrapper_parsing():
+    p = build_parser(default_pipeline="behrt")
+    args = p.parse_args(["--epochs", "1"])
+    assert args.pipeline == "behrt"
+
+
+@pytest.mark.slow
+def test_cli_end_to_end_synthetic_behrt(tmp_path):
+    rc = main(["behrt", "--synthetic", "64", "--tiny", "--epochs", "1",
+               "--bsz", "32", "--out_dir", str(tmp_path), "--quiet"])
+    assert rc == 0
+
+
+@pytest.mark.slow
+def test_cli_data_pipeline_synthetic(tmp_path):
+    rc = main(["data", "--synthetic", "16", "--out_dir", str(tmp_path),
+               "--quiet"])
+    assert rc == 0
+    assert (tmp_path / "final_structured_common.csv").exists()
+    assert (tmp_path / "final_unstructured_common.csv").exists()
