@@ -200,7 +200,7 @@ def run_pipeline(args) -> int:
             run_adv_debias_experiment,
         )
 
-        cfg = AdvDebiasPipelineConfig(dtype=dtype)
+        cfg = AdvDebiasPipelineConfig(dtype=dtype, out_dir=args.out_dir)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
         if args.tiny:

@@ -53,6 +53,8 @@ class AdvDebiasPipelineConfig:
     stage2_sensitive: str = "gender"       # binarized sensitive attribute
     stage2_grid: Optional[Dict[str, List]] = None
     run_stage2: bool = True
+    out_dir: str = "."
+    save_artifacts: bool = True        # metrics.csv + loss_metrics.png (04:752-772)
 
 
 def run_adv_debias_experiment(
@@ -117,6 +119,32 @@ def run_adv_debias_experiment(
             for r in stage2:
                 print("stage2", r["config"], "->",
                       {k: round(v, 4) for k, v in r["metrics"].items()})
+        if cfg.save_artifacts:
+            import os
+
+            os.makedirs(cfg.out_dir, exist_ok=True)
+            rows = [dict(**r["config"], **r["metrics"]) for r in stage2]
+            pd.DataFrame(rows).to_csv(
+                os.path.join(cfg.out_dir, "metrics.csv"), index=False)
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                plt.figure()
+                for r in stage2:
+                    plt.plot(r["train_curve"], color="blue", label="Train Loss")
+                    plt.plot(r["valid_curve"], color="red", label="Valid Loss")
+                    break    # reference plots the last run only; one is enough
+                plt.legend()
+                plt.savefig(os.path.join(cfg.out_dir, "loss_metrics.png"))
+                plt.close()
+            except Exception:
+                pass
+            if verbose:
+                print("Evaluation metrics saved to",
+                      os.path.join(cfg.out_dir, "metrics.csv"))
 
     return {"metrics": metrics, "fairness": fairness, "eddi": eddi,
             "history": history, "best_params": best_params,

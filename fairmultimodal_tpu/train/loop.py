@@ -62,6 +62,10 @@ class TrainConfig:
     scheduler_patience: int = 2
     grad_clip: float = 1.0
     seed: int = 42
+    # Dropout PRNG implementation: "unsafe_rbg" uses the TPU hardware RBG
+    # (~35% faster train step than threefry at this model's dropout volume,
+    # see utils/rng.py); "threefry" restores the JAX default.
+    rng_impl: str = "unsafe_rbg"
 
 
 class PlateauScheduler:
@@ -140,7 +144,10 @@ class FAMETrainer:
             optax.inject_hyperparams(optax.adamw)(
                 learning_rate=config.lr, weight_decay=config.weight_decay),
         )
-        self._rng = jax.random.PRNGKey(rngs_seed)
+        from fairmultimodal_tpu.utils.rng import make_rng
+
+        self._init_seed = rngs_seed
+        self._rng = make_rng(rngs_seed, config.rng_impl)
         self._build_steps()
         # Initial dynamic weights: 0.33 per modality per task (10_FAME:792-796).
         self.dynamic_weights = np.full((3, 3), 0.33, np.float32)
@@ -206,8 +213,12 @@ class FAMETrainer:
     # -- protocol ---------------------------------------------------------------
 
     def init_params(self, example_batch: Dict[str, Any]):
-        rng, self._rng = jax.random.split(self._rng)
-        variables = self.model.init(rng, example_batch["model_inputs"])
+        # Init always uses a typed threefry stream so parameter draws are
+        # independent of the dropout rng_impl choice (reproducibility).
+        from fairmultimodal_tpu.utils.rng import threefry_key
+
+        variables = self.model.init(threefry_key(self._init_seed),
+                                    example_batch["model_inputs"])
         return variables["params"]
 
     def init_opt_state(self, params):

@@ -45,6 +45,8 @@ class SimpleTrainConfig:
     scheduler_patience: int = 2
     grad_clip: Optional[float] = None
     seed: int = 42
+    # "unsafe_rbg" = TPU hardware RBG for dropout masks (see utils/rng.py).
+    rng_impl: str = "unsafe_rbg"
 
 
 def masked_task_loss(logits, labels, weight, *, loss: str, gamma: float,
@@ -90,7 +92,9 @@ class MultitaskTrainer:
             pieces.append(optax.clip_by_global_norm(config.grad_clip))
         pieces.append(optax.inject_hyperparams(opt)(learning_rate=config.lr, **kwargs))
         self.tx = optax.chain(*pieces)
-        self._rng = jax.random.PRNGKey(config.seed)
+        from fairmultimodal_tpu.utils.rng import make_rng
+
+        self._rng = make_rng(config.seed, config.rng_impl)
         self.history: List[Dict[str, Any]] = []
         self._build()
 
@@ -129,8 +133,11 @@ class MultitaskTrainer:
         return jax.tree_util.tree_map(jnp.asarray, batch)
 
     def init_params(self, example_batch):
-        rng, self._rng = jax.random.split(self._rng)
-        return self.model.init(rng, example_batch["model_inputs"])["params"]
+        # Threefry init regardless of the dropout rng_impl (reproducibility).
+        from fairmultimodal_tpu.utils.rng import threefry_key
+
+        return self.model.init(threefry_key(self.config.seed),
+                               example_batch["model_inputs"])["params"]
 
     def set_lr(self, opt_state, lr: float):
         opt_state[-1].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)

@@ -102,7 +102,7 @@ def test_average_fusion_pipeline(frames, tiny_text, tmp_path):
 
 
 @pytest.mark.slow
-def test_adv_debias_pipeline(frames, tiny_text):
+def test_adv_debias_pipeline(frames, tiny_text, tmp_path):
     from fairmultimodal_tpu.pipelines import (
         AdvDebiasPipelineConfig,
         run_adv_debias_experiment,
@@ -115,7 +115,8 @@ def test_adv_debias_pipeline(frames, tiny_text):
         num_attention_heads=2,
         stage2_grid={"learning_rate": [1e-3], "num_iters": [60],
                      "num_nodes": [16], "num_nodes_adv": [8],
-                     "dropout_rate": [0.1], "alpha": [1.0]})
+                     "dropout_rate": [0.1], "alpha": [1.0]},
+        out_dir=str(tmp_path))
     out = run_adv_debias_experiment(s, u, cfg, text_encoder=tiny_text,
                                     verbose=False)
     _check(out)
@@ -123,6 +124,8 @@ def test_adv_debias_pipeline(frames, tiny_text):
     m = out["stage2"][0]["metrics"]
     assert 0.0 <= m["accuracy"] <= 1.0
     assert np.isfinite(m["f1"])
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics.csv"))
 
 
 @pytest.mark.slow
