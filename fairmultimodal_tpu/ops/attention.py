@@ -66,6 +66,12 @@ def multi_head_attention(
     use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Dispatching MHA. Shapes: q,k,v [B, H, S, D]; mask [B, S]."""
+    if q.shape[2] == 1:
+        # One token attending to itself: softmax over a single key is 1, so
+        # the output IS v and the Q/K projections are dead code XLA then
+        # eliminates — the demo-BERT branch runs on a 1-token dummy input
+        # (10_FAME.py:715-716), making this exact and free.
+        return v
     if use_pallas is None:
         use_pallas = _can_use_pallas(q)
     if use_pallas:
