@@ -100,6 +100,24 @@ def _apply_overrides(train_cfg, args):
 _TINY = dict(hidden_size=64, text_batch_size=16)
 
 
+
+_TASK_KEY = {"mortality": "mortality", "los": "los",
+             "ventilation": "mechanical_ventilation"}
+
+
+def _report_task_focus(out, args) -> int:
+    """--task focus: re-print the selected task's metric block after the
+    full run (models are always 3-headed like the reference; the flag narrows
+    the report, matching the vent-only legacy pipelines' output surface)."""
+    if args.task != "all" and isinstance(out, dict) and "metrics" in out:
+        key = _TASK_KEY[args.task]
+        m = out["metrics"].get(key)
+        if m and not args.quiet:
+            print(f"\n=== Selected task: {key} ===")
+            for k, v in m.items():
+                print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}")
+    return 0
+
 def run_pipeline(args) -> int:
     verbose = not args.quiet
     name = args.pipeline
@@ -158,8 +176,8 @@ def run_pipeline(args) -> int:
             cfg.hidden_size, cfg.demo_layers, cfg.demo_heads = 64, 1, 2
             cfg.lab_layers, cfg.lab_heads, cfg.fusion_hidden = 1, 2, 32
             cfg.text_max_length = 64
-        run_fame_experiment(s, u, cfg, verbose=verbose)
-        return 0
+        out = run_fame_experiment(s, u, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     if name == "behrt":
         from fairmultimodal_tpu.pipelines import (
@@ -170,8 +188,8 @@ def run_pipeline(args) -> int:
         cfg = BEHRTPipelineConfig(dtype=dtype)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        run_behrt_experiment(s, u, cfg, verbose=verbose)
-        return 0
+        out = run_behrt_experiment(s, u, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     if name == "bioclinicalbert":
         from fairmultimodal_tpu.pipelines import (
@@ -182,8 +200,8 @@ def run_pipeline(args) -> int:
         cfg = TextOnlyPipelineConfig(head=args.head)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        run_text_only_experiment(s, u, cfg, verbose=verbose)
-        return 0
+        out = run_text_only_experiment(s, u, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     if name == "dfc":
         from fairmultimodal_tpu.pipelines import DfCPipelineConfig, run_dfc_experiment
@@ -191,8 +209,8 @@ def run_pipeline(args) -> int:
         cfg = DfCPipelineConfig(dtype=dtype)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        run_dfc_experiment(s, u, cfg, verbose=verbose)
-        return 0
+        out = run_dfc_experiment(s, u, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     if name == "advdebias":
         from fairmultimodal_tpu.pipelines import (
@@ -207,8 +225,8 @@ def run_pipeline(args) -> int:
             cfg.stage2_grid = {"learning_rate": [1e-3], "num_iters": [100],
                                "num_nodes": [16], "num_nodes_adv": [8],
                                "dropout_rate": [0.1], "alpha": [1.0]}
-        run_adv_debias_experiment(s, u, cfg, verbose=verbose)
-        return 0
+        out = run_adv_debias_experiment(s, u, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     if name == "fairehrclp":
         from fairmultimodal_tpu.pipelines import (
@@ -219,8 +237,8 @@ def run_pipeline(args) -> int:
         cfg = FairEHRCLPPipelineConfig(dtype=dtype)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        run_fairehr_clp_experiment(s, u, cfg, verbose=verbose)
-        return 0
+        out = run_fairehr_clp_experiment(s, u, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     if name == "average":
         from fairmultimodal_tpu.pipelines import (
@@ -231,8 +249,8 @@ def run_pipeline(args) -> int:
         cfg = AverageFusionPipelineConfig(dtype=dtype, out_dir=args.out_dir)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        run_average_fusion_experiment(s, u, cfg, verbose=verbose)
-        return 0
+        out = run_average_fusion_experiment(s, u, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     if name == "eddi":
         from fairmultimodal_tpu.pipelines import (
@@ -247,8 +265,8 @@ def run_pipeline(args) -> int:
         tinyize(cfg)
         if args.tiny:
             cfg.demo_layers, cfg.demo_heads = 1, 2
-        run_eddi_fusion_experiment(s, u, cfg, verbose=verbose)
-        return 0
+        out = run_eddi_fusion_experiment(s, u, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     if name == "sigmoid":
         from fairmultimodal_tpu.pipelines import (
@@ -259,8 +277,8 @@ def run_pipeline(args) -> int:
         cfg = SigmoidFusionPipelineConfig(dtype=dtype)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        run_sigmoid_fusion_experiment(s, u, cfg, verbose=verbose)
-        return 0
+        out = run_sigmoid_fusion_experiment(s, u, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     raise SystemExit(f"unknown pipeline {name!r}")
 

@@ -67,3 +67,22 @@ def test_metrics_dict_schema():
         for attr in ("age", "ethnicity", "insurance"):
             assert set(fairness[task][attr]) == {"avg_tpr_diff",
                                                  "avg_fpr_diff", "eo_metric"}
+
+
+def test_plots_write_pngs(tmp_path):
+    from fairmultimodal_tpu.eval.plots import (
+        disparity_bars,
+        jitter_plot,
+        training_curves,
+    )
+
+    rng = np.random.default_rng(0)
+    p1 = jitter_plot(rng.random(100), rng.integers(0, 2, 100),
+                     rng.integers(0, 4, 100), str(tmp_path / "j.png"))
+    p2 = disparity_bars({0: 0.1, 1: -0.05, 2: 0.2}, str(tmp_path / "d.png"))
+    p3 = training_curves([{"epoch": 1, "train_loss": 1.0, "val_loss": 0.9},
+                          {"epoch": 2, "train_loss": 0.8, "val_loss": 0.85}],
+                         str(tmp_path / "t.png"))
+    import os
+    for p in (p1, p2, p3):
+        assert p is not None and os.path.getsize(p) > 0
