@@ -89,6 +89,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
 
 
 def _pick_block_q(s: int) -> int:
+    # Whole-S q blocks up to 1024: the S x S fp32 score tile still fits VMEM
+    # (1024^2 * 4B = 4 MB) and K/V are loaded once per (b, h) instead of
+    # once per q block.
+    if s <= 1024:
+        return s
     for bq in (256, 128):
         if s % bq == 0:
             return bq

@@ -226,3 +226,49 @@ def test_batch_eddi_weights_jit_parity():
     np.testing.assert_allclose(
         np.asarray(w_new),
         w_prev + 0.3 * (eddi.max(axis=1, keepdims=True) - eddi), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fame_inference_roundtrip(frames, tiny_text, tmp_path):
+    """Export trained FAME params, reload via the serving path, and verify
+    the predictor reproduces the training-time probabilities."""
+    import jax
+    import jax.numpy as jnp
+
+    from fairmultimodal_tpu.models.fusion import FAMEModel
+    from fairmultimodal_tpu.pipelines.fame import build_model_arrays
+    from fairmultimodal_tpu.pipelines.inference import FAMEPredictor
+    from fairmultimodal_tpu.utils.checkpoint import load_params_npz, save_params_npz
+    from fairmultimodal_tpu.data.featurize import assemble_features
+    from fairmultimodal_tpu.models.text import encode_note_chunks
+
+    s, u = frames
+    bundle = assemble_features(s, u)
+    bundle.text_embeddings = encode_note_chunks(tiny_text, bundle.note_chunks,
+                                                max_length=32, batch_size=16)
+    arrays = build_model_arrays(bundle)
+    n_ages, n_gen, n_eth, n_ins = bundle.vocab_sizes()
+    model = FAMEModel(num_ages=n_ages, num_genders=n_gen,
+                      num_ethnicities=n_eth, num_insurances=n_ins,
+                      lab_token_count=bundle.num_lab_features,
+                      text_embed_size=32, hidden_size=32, demo_layers=1,
+                      demo_heads=2, lab_layers=1, lab_heads=2, fusion_hidden=16)
+    jb = {k: jnp.asarray(v[:4]) for k, v in arrays.items()}
+    params = model.init(jax.random.PRNGKey(0), jb)["params"]
+
+    path = str(tmp_path / "best.npz")
+    save_params_npz(path, params)
+    restored = load_params_npz(path, params)
+
+    pred = FAMEPredictor(model, restored, batch_size=16)
+    out = pred.predict_arrays(arrays)
+    assert out["probs"].shape == (bundle.num_patients, 3)
+    assert ((out["probs"] >= 0) & (out["probs"] <= 1)).all()
+
+    # Oracle: direct apply on the first 16 rows.
+    mi = {k: jnp.asarray(v[:16]) for k, v in arrays.items()}
+    direct = jax.nn.sigmoid(model.apply(
+        {"params": params}, mi,
+        dynamic_weights=jnp.full((3, 3), 0.33), deterministic=True
+    )["fused_logits"])
+    np.testing.assert_allclose(out["probs"][:16], np.asarray(direct), atol=1e-5)
