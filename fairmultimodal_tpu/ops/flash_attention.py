@@ -42,10 +42,14 @@ NEG_INF = -1e9
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    """One (b, h, q-block) cell: O = softmax(Q K^T * scale + bias) V."""
-    q = q_ref[0, 0].astype(jnp.float32)           # [BQ, D]
-    k = k_ref[0, 0].astype(jnp.float32)           # [S, D]
-    v = v_ref[0, 0].astype(jnp.float32)           # [S, D]
+    """One (b, h, q-block) cell: O = softmax(Q K^T * scale + bias) V.
+
+    Matmul operands stay in the input dtype (bf16 keeps the MXU at full
+    rate); accumulation and the softmax run in fp32.
+    """
+    q = q_ref[0, 0]                                # [BQ, D], input dtype
+    k = k_ref[0, 0]                                # [S, D]
+    v = v_ref[0, 0]                                # [S, D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     # mask_ref holds the whole [B, S] mask (a 1-row block would violate the
@@ -55,34 +59,42 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
+    p = (p / l).astype(v.dtype)                    # bf16 operand for the MXU
     o = jnp.dot(p, v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float):
-    """One (b, h) cell: full-S softmax VJP with fp32 accumulation."""
-    q = q_ref[0, 0].astype(jnp.float32)           # [S, D]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    """One (b, h) cell: full-S softmax VJP.
+
+    Matmul operands stay in the input dtype (full-rate MXU for bf16); all
+    accumulation in fp32.  P and dS are cast back to the operand dtype
+    before re-entering the MXU — the standard mixed-precision flash-bwd
+    recipe.
+    """
+    q = q_ref[0, 0]                               # [S, D], input dtype
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     row = mask_ref[pl.ds(pl.program_id(0), 1), :]  # [1, S]
     s = s + jnp.where(row > 0, 0.0, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)    # [S, S]
+    p = e / jnp.sum(e, axis=-1, keepdims=True)    # [S, S] fp32
+    p_b = p.astype(q.dtype)
 
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(p_b, do, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [S, D]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [S, S]
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
+    ds_b = (ds * scale).astype(q.dtype)
+    dq = jnp.dot(ds_b, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds_b, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
