@@ -30,7 +30,7 @@ import sys
 from typing import Optional
 
 PIPELINES = ("data", "behrt", "bioclinicalbert", "dfc", "advdebias", "fpm",
-             "fairehrclp", "average", "eddi", "sigmoid", "fame")
+             "fairehrclp", "average", "eddi", "sigmoid", "fame", "predict")
 
 _SCRIPT_TO_PIPELINE = {
     "00": "data", "01": "behrt", "02": "bioclinicalbert", "03": "dfc",
@@ -68,6 +68,12 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
     p.add_argument("--tiny", action="store_true",
                    help="tiny geometry for CPU smoke runs")
     p.add_argument("--quiet", action="store_true")
+    # Serving (predict pipeline)
+    p.add_argument("--params", default=None,
+                   help="exported best_model_*.npz for `predict`")
+    p.add_argument("--thresholds", default=None,
+                   help="JSON file of calibrated per-task thresholds")
+    p.add_argument("--predictions_csv", default="predictions.csv")
     return p
 
 
@@ -139,6 +145,27 @@ def run_pipeline(args) -> int:
     s, u = _load_frames(args)
     os.makedirs(args.out_dir, exist_ok=True)
     dtype = "bfloat16" if args.bf16 else "float32"
+
+    if name == "predict":
+        import json as _json
+
+        from fairmultimodal_tpu.pipelines.inference import run_fame_inference
+
+        if not args.params:
+            raise SystemExit("predict requires --params <best_model.npz>")
+        thresholds = None
+        if args.thresholds:
+            with open(args.thresholds) as f:
+                thresholds = _json.load(f)
+        model_kwargs = ({"hidden_size": 64, "demo_layers": 1, "demo_heads": 2,
+                         "lab_layers": 1, "lab_heads": 2, "fusion_hidden": 32}
+                        if args.tiny else None)
+        run_fame_inference(
+            s, u, args.params, thresholds=thresholds,
+            model_kwargs=model_kwargs,
+            out_csv=os.path.join(args.out_dir, args.predictions_csv),
+            verbose=verbose)
+        return 0
 
     def tinyize(cfg, *, layers_attr=None):
         if not args.tiny:

@@ -51,3 +51,18 @@ def test_cli_data_pipeline_synthetic(tmp_path):
     assert rc == 0
     assert (tmp_path / "final_structured_common.csv").exists()
     assert (tmp_path / "final_unstructured_common.csv").exists()
+
+
+def test_predict_flags_parse():
+    p = build_parser()
+    args = p.parse_args(["predict", "--params", "best.npz",
+                         "--thresholds", "thr.json",
+                         "--predictions_csv", "out.csv"])
+    assert args.pipeline == "predict"
+    assert args.params == "best.npz"
+    assert args.predictions_csv == "out.csv"
+
+
+def test_predict_requires_params():
+    with pytest.raises(SystemExit):
+        main(["predict", "--synthetic", "8", "--quiet"])
