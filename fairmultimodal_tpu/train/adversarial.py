@@ -222,7 +222,9 @@ def adv_metrics(yhat: np.ndarray, y: np.ndarray, z: np.ndarray,
 
     yhat = np.asarray(yhat).reshape(-1)
     y = np.asarray(y).reshape(-1)
-    z = np.asarray(z).reshape(-1)
+    # Binarize the sensitive attribute like the reference eval (04:783):
+    # group 0 vs everyone else.
+    z = (np.asarray(z).reshape(-1) > 0).astype(np.float64)
     pred = (yhat > threshold).astype(int)
     tp = int(((pred == 1) & (y == 1)).sum())
     tn = int(((pred == 0) & (y == 0)).sum())

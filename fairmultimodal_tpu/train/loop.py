@@ -230,14 +230,17 @@ class FAMETrainer:
         return opt_state
 
     def train_epoch(self, params, opt_state, loader, log_every: int = 0):
+        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
+
         total_sum = 0.0
         bce_sum = 0.0
         nb = 0
         dyn_w = jnp.asarray(self.dynamic_weights)
-        for batch in loader:
+        # Batch N+1's host->device transfer overlaps step N's compute.
+        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
             rng, self._rng = jax.random.split(self._rng)
             params, opt_state, total, bce = self._train_step(
-                params, opt_state, self._put_batch(batch), dyn_w, rng)
+                params, opt_state, batch, dyn_w, rng)
             total_sum += float(total)
             bce_sum += float(bce)
             nb += 1

@@ -144,11 +144,14 @@ class MultitaskTrainer:
         return opt_state
 
     def train_epoch(self, params, opt_state, loader):
+        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
+
         total, nb = 0.0, 0
-        for batch in loader:
+        # Batch N+1's host->device transfer overlaps step N's compute.
+        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
             rng, self._rng = jax.random.split(self._rng)
             params, opt_state, loss = self._train_step(
-                params, opt_state, self._put(batch), rng)
+                params, opt_state, batch, rng)
             total += float(loss)
             nb += 1
         return params, opt_state, total / max(nb, 1)

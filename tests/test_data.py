@@ -165,3 +165,27 @@ def test_note_cleaning_and_chunking():
     assert "[**" not in cleaned and "dr." not in cleaned and "--" not in cleaned
     chunks = split_text_to_chunks("a b c d e", chunk_size=2)
     assert chunks == ["a b", "c d", "e"]
+
+
+def test_prefetch_to_device_preserves_order_and_content():
+    import jax
+    import jax.numpy as jnp
+
+    from fairmultimodal_tpu.data.loader import BatchIterator
+    from fairmultimodal_tpu.data.prefetch import PrefetchLoader, prefetch_to_device
+
+    arrays = {"x": np.arange(20, dtype=np.float32).reshape(10, 2),
+              "y": np.arange(10, dtype=np.int32)}
+    it = BatchIterator(arrays, batch_size=4)
+    batches = list(prefetch_to_device(it, size=2))
+    assert len(batches) == 3
+    assert isinstance(batches[0]["x"], jax.Array)
+    flat = np.concatenate([np.asarray(b["x"])[b["weight"] > 0] for b in batches])
+    np.testing.assert_array_equal(flat, arrays["x"])
+
+    # Re-iterable wrapper gives identical passes.
+    pl_loader = PrefetchLoader(BatchIterator(arrays, batch_size=4), size=3)
+    assert len(pl_loader) == 3
+    two = [list(pl_loader) for _ in range(2)]
+    np.testing.assert_array_equal(np.asarray(two[0][0]["y"]),
+                                  np.asarray(two[1][0]["y"]))
