@@ -68,6 +68,9 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
     p.add_argument("--tiny", action="store_true",
                    help="tiny geometry for CPU smoke runs")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--reference_compat", action="store_true",
+                   help="reproduce documented reference bugs (e.g. the "
+                        "relative-index split at 10_FAME.py:744-755)")
     # Serving (predict pipeline)
     p.add_argument("--params", default=None,
                    help="exported best_model_*.npz for `predict`")
@@ -167,7 +170,7 @@ def run_pipeline(args) -> int:
             verbose=verbose)
         return 0
 
-    def tinyize(cfg, *, layers_attr=None):
+    def tinyize(cfg):
         if not args.tiny:
             return cfg
         for k, v in _TINY.items():
@@ -198,7 +201,8 @@ def run_pipeline(args) -> int:
         if args.beta is not None:
             tc.beta = args.beta
         cfg = FAMEPipelineConfig(train=tc, out_dir=args.out_dir, dtype=dtype,
-                                 head=args.head or (1000 if name == "fpm" else None))
+                                 head=args.head or (1000 if name == "fpm" else None),
+                                 reference_compat=args.reference_compat)
         if args.tiny:
             cfg.hidden_size, cfg.demo_layers, cfg.demo_heads = 64, 1, 2
             cfg.lab_layers, cfg.lab_heads, cfg.fusion_hidden = 1, 2, 32

@@ -43,10 +43,6 @@ class DfCPipelineConfig:
     dtype: str = "float32"
 
 
-class _DfCAdapter:
-    pass
-
-
 def run_dfc_experiment(
     structured: pd.DataFrame,
     unstructured: pd.DataFrame,
