@@ -7,7 +7,8 @@ text embeddings — in bfloat16 on the available accelerator.
 
 Measured progression on a single v5e chip (batch 256, bf16): 1047 p/s with
 XLA attention -> 1202 with the Pallas fused-attention path -> ~1700 with
-hardware-RBG dropout keys (the default; see utils/rng.py).
+hardware-RBG dropout keys -> ~1790 with whole-S q blocks -> ~2000 with
+16-granular sequence padding (549 lab bins -> 560 instead of 640).
 
 Baseline: the reference (PyTorch, fp32, batch 16) publishes no throughput
 numbers (BASELINE.json ``published: {}``), so ``vs_baseline`` is computed

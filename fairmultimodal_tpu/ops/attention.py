@@ -52,10 +52,10 @@ def _can_use_pallas(q: jax.Array) -> bool:
     if jax.default_backend() not in ("tpu",):
         return False
     b, h, s, d = q.shape
-    # Tile alignment: 128-divisible sequence; head dims the kernel is
-    # validated on (96 = the reference lab encoder's 768/8 geometry —
-    # sub-128 lanes lower fine through Mosaic).
-    return s % 128 == 0 and d in (32, 64, 96, 128) and s >= 256
+    # Whole-S blocks are legal whenever the sublane tile divides S (16 covers
+    # bf16 and fp32); head dims are the validated set (96 = the reference lab
+    # encoder's 768/8 geometry — sub-128 lanes lower fine through Mosaic).
+    return s % 16 == 0 and d in (32, 64, 96, 128) and 256 <= s <= 1024
 
 
 def multi_head_attention(
