@@ -119,3 +119,33 @@ def test_missing_file_raises(lib_ok):
         native.aggregate_events_native(
             "/nonexistent/file.csv.gz", np.zeros(1, np.int64),
             np.zeros(1, np.int64), np.zeros(1))
+
+
+def test_aggregate_feature_table_native_matches_pandas(tmp_path, lib_ok):
+    """The full ETL helper must produce the same wide frame through the
+    native path and the pandas path."""
+    import pandas as pd
+
+    from fairmultimodal_tpu.data import etl
+    from fairmultimodal_tpu.data.synthetic import write_raw_mimic
+
+    raw = str(tmp_path / "raw")
+    write_raw_mimic(raw, n_subjects=25, seed=9)
+
+    stays = pd.read_csv(f"{raw}/ICUSTAYS.csv.gz")
+    stays.columns = [c.lower() for c in stays.columns]
+    stays["intime"] = pd.to_datetime(stays["intime"])
+    subjects = set(stays["subject_id"])
+
+    nat = etl.aggregate_feature_table(raw, "chartevents", subjects, stays,
+                                      use_native=True)
+    ref = etl.aggregate_feature_table(raw, "chartevents", subjects, stays,
+                                      use_native=False)
+    assert nat is not None and ref is not None
+    nat = nat.sort_values(["subject_id", "hadm_id"]).reset_index(drop=True)
+    ref = ref.sort_values(["subject_id", "hadm_id"]).reset_index(drop=True)
+    assert sorted(nat.columns) == sorted(ref.columns)
+    for c in ref.columns:
+        np.testing.assert_allclose(
+            nat[c].to_numpy(np.float64), ref[c].to_numpy(np.float64),
+            rtol=1e-9, atol=1e-12, err_msg=c)

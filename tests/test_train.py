@@ -71,8 +71,8 @@ def test_fame_end_to_end_synthetic():
     # tiny config sits near the dead-ReLU cliff; production default is the
     # faster unsafe_rbg).
     cfg = FAMEPipelineConfig(
-        train=TrainConfig(lr=1e-3, num_epochs=6, batch_size=32, lambda_edd=0.2,
-                          lambda_l1=0.001, rng_impl="threefry"),
+        train=TrainConfig(lr=1e-3, num_epochs=10, batch_size=32, lambda_edd=0.2,
+                          lambda_l1=0.001, rng_impl="threefry", patience=10),
         text_max_length=32, text_batch_size=16,
         hidden_size=32, demo_layers=1, demo_heads=2, lab_layers=1, lab_heads=2,
         fusion_hidden=16, save_artifacts=False)
@@ -82,7 +82,8 @@ def test_fame_end_to_end_synthetic():
     for task, m in out["metrics"].items():
         assert np.isfinite(m["aucroc"]), task
     # Labs carry a strong linear signal; even a tiny model should beat chance
-    # on at least one task after 6 epochs.
+    # on at least one task after 10 epochs (at 10 epochs all three tasks sit
+    # around 0.65-0.74; the margin absorbs dropout-stream sensitivity).
     aurocs = [m["aucroc"] for m in out["metrics"].values()]
     assert max(aurocs) > 0.6, aurocs
     # Dynamic weights were updated and stay normalized.
