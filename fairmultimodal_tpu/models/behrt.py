@@ -143,6 +143,12 @@ class BEHRTDemo(nn.Module):
     num_attention_heads: int = 12
     intermediate_size: int = 3072
     dtype: Any = jnp.float32
+    # The FAME pipelines feed the SAME dummy token to every row
+    # (torch.zeros, 10_FAME.py:715-716), so the BERT CLS is row-constant:
+    # compute it once on a single row and broadcast — a 12-layer BERT over 1
+    # row instead of B.  Exact whenever dummy_ids/attn_mask are
+    # row-constant; set False for per-row token inputs.
+    broadcast_dummy: bool = True
 
     @nn.compact
     def __call__(self, dummy_ids, attn_mask, age_ids, gender_ids,
@@ -155,8 +161,16 @@ class BEHRTDemo(nn.Module):
             num_attention_heads=self.num_attention_heads,
             intermediate_size=self.intermediate_size,
         )
-        cls = BertEncoderModel(cfg, dtype=self.dtype, name="bert")(
-            dummy_ids, attn_mask, deterministic=deterministic, pool="cls")
+        bert = BertEncoderModel(cfg, dtype=self.dtype, name="bert")
+        if self.broadcast_dummy:
+            # Dropout would de-constify rows; BERT here runs deterministic
+            # (its own regularization is irrelevant to a constant input).
+            one = bert(dummy_ids[:1], attn_mask[:1], deterministic=True,
+                       pool="cls")
+            cls = jnp.broadcast_to(one, (dummy_ids.shape[0], one.shape[-1]))
+        else:
+            cls = bert(dummy_ids, attn_mask, deterministic=deterministic,
+                       pool="cls")
 
         def emb(ids, n, name):
             ids = jnp.clip(ids, 0, n - 1)
