@@ -117,6 +117,8 @@ class BEHRTLab(nn.Module):
         mask = (jnp.arange(S) < L)[None, :].astype(jnp.int32)
         mask = jnp.broadcast_to(mask, (b, S))
 
+        # No remat: the step is compute-bound at this size — dots_saveable
+        # remat measured 1468 vs 2013 patients/sec (-27%).
         for i in range(self.num_layers):
             x = TorchEncoderLayer(self.hidden_size, self.num_heads,
                                   dropout=self.dropout, dtype=self.dtype,
