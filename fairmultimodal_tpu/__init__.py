@@ -25,3 +25,9 @@ LABEL_COLUMNS = ("short_term_mortality", "los_binary", "mechanical_ventilation")
 EXPECTED_AGE_CODES = (0, 1, 2, 3)
 EXPECTED_ETHNICITY_CODES = (0, 1, 2, 3, 4)
 EXPECTED_INSURANCE_CODES = (0, 1, 2, 3, 4, 5)
+# Human-readable subgroup names in reference print order
+# (02_BioClinicalBERT.py:255-278 fixed orders; 10_FAME.py:644-691 mappers).
+AGE_BUCKET_LABELS = ("15-29", "30-49", "50-69", "70-89")
+ETHNICITY_LABELS = ("Asian", "Black", "Hispanic", "Other", "White")
+INSURANCE_LABELS = ("Government", "Medicaid", "Medicare", "Other",
+                    "Private", "Self Pay")

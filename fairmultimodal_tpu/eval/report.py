@@ -27,9 +27,12 @@ from sklearn.metrics import (
 )
 
 from fairmultimodal_tpu import (
+    AGE_BUCKET_LABELS,
+    ETHNICITY_LABELS,
     EXPECTED_AGE_CODES,
     EXPECTED_ETHNICITY_CODES,
     EXPECTED_INSURANCE_CODES,
+    INSURANCE_LABELS,
     TASKS,
 )
 from fairmultimodal_tpu.fairness.eddi import combined_eddi, compute_eddi
@@ -42,6 +45,27 @@ _COMPLETE = {
     "ethnicity": EXPECTED_ETHNICITY_CODES,
     "insurance": EXPECTED_INSURANCE_CODES,
 }
+_LABELS = {
+    "age": AGE_BUCKET_LABELS,
+    "ethnicity": ETHNICITY_LABELS,
+    "insurance": INSURANCE_LABELS,
+}
+
+
+def _named(attr: str, subgroups: Dict) -> Dict:
+    """Map integer subgroup codes to the reference's printed names
+    (02_BioClinicalBERT.py:255-278 fixed subgroup orders); non-integer or
+    out-of-range keys pass through unchanged."""
+    names = _LABELS.get(attr)
+    if names is None:
+        return subgroups
+    out = {}
+    for k, v in subgroups.items():
+        try:
+            out[names[int(k)] if 0 <= int(k) < len(names) else k] = v
+        except (TypeError, ValueError):
+            out[k] = v
+    return out
 
 
 def _sigmoid(x):
@@ -162,7 +186,7 @@ def eddi_report(
             for attr in sensitive:
                 print(f" {attr.capitalize()} EDDI:")
                 print("  Overall:", attr_eddi[attr])
-                print("  Subgroups:", subgroups[attr])
+                print("  Subgroups:", _named(attr, subgroups[attr]))
             print(" Combined EDDI:", combined)
     overall = float(np.mean(list(combined_per_task.values())))
     out["overall_combined_eddi"] = overall

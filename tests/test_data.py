@@ -189,3 +189,25 @@ def test_prefetch_to_device_preserves_order_and_content():
     two = [list(pl_loader) for _ in range(2)]
     np.testing.assert_array_equal(np.asarray(two[0][0]["y"]),
                                   np.asarray(two[1][0]["y"]))
+
+
+def test_debug_and_profiling_utils():
+    import jax.numpy as jnp
+
+    from fairmultimodal_tpu.utils.debug import check_finite_tree
+    from fairmultimodal_tpu.utils.profiling import Timer, throughput, trace
+
+    tree = {"a": jnp.ones(3), "b": {"c": jnp.asarray([1.0, float("nan")])},
+            "ids": jnp.asarray([1, 2])}
+    bad = check_finite_tree(tree, "params")
+    assert bad == ["params/b/c"]
+
+    with trace("unit-test"):
+        pass
+    with Timer() as t:
+        _ = jnp.sum(jnp.ones(8))
+    assert t.elapsed >= 0.0
+
+    stats = throughput(lambda x: x + 1, jnp.ones(4), iters=3, warmup=1,
+                       items_per_call=4)
+    assert stats["items_per_sec"] > 0

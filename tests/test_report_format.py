@@ -86,3 +86,13 @@ def test_plots_write_pngs(tmp_path):
     import os
     for p in (p1, p2, p3):
         assert p is not None and os.path.getsize(p) > 0
+
+
+def test_named_subgroups_in_eddi_print():
+    logits, labels, sensitive = _fake_eval(seed=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eddi_report(logits, labels, sensitive, 0.5, verbose=True)
+    out = buf.getvalue()
+    for name in ("15-29", "70-89", "Black", "White", "Medicare", "Self Pay"):
+        assert f"'{name}'" in out, name
