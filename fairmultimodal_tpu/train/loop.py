@@ -248,32 +248,35 @@ class FAMETrainer:
 
     def validate(self, params, loader) -> Tuple[float, np.ndarray, np.ndarray]:
         """Average val loss (BCE only, matching 10_FAME.py:825) + logits."""
+        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
+
         dyn_w = jnp.asarray(self.dynamic_weights)
         losses = []
         logits_all, labels_all = [], []
-        for batch in loader:
-            b = self._put_batch(batch)
-            total, bce, logits = self._eval_step(params, b, dyn_w)
+        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
+            total, bce, logits = self._eval_step(params, batch, dyn_w)
             losses.append(float(bce))
-            keep = batch["weight"] > 0
+            keep = np.asarray(batch["weight"]) > 0
             logits_all.append(np.asarray(logits)[keep])
-            labels_all.append(batch["labels"][keep])
+            labels_all.append(np.asarray(batch["labels"])[keep])
         return (float(np.mean(losses)) if losses else float("inf"),
                 np.concatenate(logits_all) if logits_all else np.zeros((0, 3)),
                 np.concatenate(labels_all) if labels_all else np.zeros((0, 3)))
 
     def predict_logits(self, params, loader) -> Dict[str, np.ndarray]:
+        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
+
         dyn_w = jnp.asarray(self.dynamic_weights)
         out = {"logits": [], "labels": [], "age": [], "ethnicity": [], "insurance": []}
-        for batch in loader:
-            b = self._put_batch(batch)
-            _, _, logits = self._eval_step(params, b, dyn_w)
-            keep = batch["weight"] > 0
+        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
+            _, _, logits = self._eval_step(params, batch, dyn_w)
+            keep = np.asarray(batch["weight"]) > 0
             out["logits"].append(np.asarray(logits)[keep])
-            out["labels"].append(batch["labels"][keep])
-            out["age"].append(batch["model_inputs"]["age_ids"][keep])
-            out["ethnicity"].append(batch["model_inputs"]["ethnicity_ids"][keep])
-            out["insurance"].append(batch["model_inputs"]["insurance_ids"][keep])
+            out["labels"].append(np.asarray(batch["labels"])[keep])
+            mi = batch["model_inputs"]
+            out["age"].append(np.asarray(mi["age_ids"])[keep])
+            out["ethnicity"].append(np.asarray(mi["ethnicity_ids"])[keep])
+            out["insurance"].append(np.asarray(mi["insurance_ids"])[keep])
         return {k: np.concatenate(v) if v else np.zeros(0) for k, v in out.items()}
 
     def update_dynamic_weights(self, params, loader, threshold: float = 0.5) -> np.ndarray:
@@ -284,20 +287,22 @@ class FAMETrainer:
         and nudges each weight by clip(beta*(eddi_max - eddi_m), ±0.05) with
         floor 0.1 and renormalization.
         """
+        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
+
         dyn_w = jnp.asarray(self.dynamic_weights)
         # Accumulate per (task, modality, attribute) group stats on the host
         # from device-reduced per-batch counts.
         preds_all, labels_all = [], []
         sens_all = {"age": [], "ethnicity": [], "insurance": []}
-        for batch in loader:
-            b = self._put_batch(batch)
-            probs = np.asarray(self._modality_step(params, b, dyn_w))  # [B, M, T]
-            keep = batch["weight"] > 0
+        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
+            probs = np.asarray(self._modality_step(params, batch, dyn_w))  # [B, M, T]
+            keep = np.asarray(batch["weight"]) > 0
             preds_all.append((probs > threshold)[keep])
-            labels_all.append(batch["labels"][keep])
-            sens_all["age"].append(batch["model_inputs"]["age_ids"][keep])
-            sens_all["ethnicity"].append(batch["model_inputs"]["ethnicity_ids"][keep])
-            sens_all["insurance"].append(batch["model_inputs"]["insurance_ids"][keep])
+            labels_all.append(np.asarray(batch["labels"])[keep])
+            mi = batch["model_inputs"]
+            sens_all["age"].append(np.asarray(mi["age_ids"])[keep])
+            sens_all["ethnicity"].append(np.asarray(mi["ethnicity_ids"])[keep])
+            sens_all["insurance"].append(np.asarray(mi["insurance_ids"])[keep])
         preds = np.concatenate(preds_all)          # [N, M, T]
         labels = np.concatenate(labels_all)        # [N, T]
         sens = {k: np.concatenate(v) for k, v in sens_all.items()}

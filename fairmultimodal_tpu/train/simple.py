@@ -157,18 +157,23 @@ class MultitaskTrainer:
         return params, opt_state, total / max(nb, 1)
 
     def evaluate_loss(self, params, loader) -> float:
-        losses = [float(self._eval_step(params, self._put(b))[0]) for b in loader]
+        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
+
+        losses = [float(self._eval_step(params, b)[0])
+                  for b in PrefetchLoader(loader, size=2, mesh=self.mesh)]
         return float(np.mean(losses)) if losses else float("inf")
 
     def predict(self, params, loader, extra_keys: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
         """Collect logits/labels (+ any model_inputs keys) over a loader,
         dropping padded rows."""
+        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
+
         out: Dict[str, list] = {"logits": [], "labels": []}
         for k in extra_keys:
             out[k] = []
-        for batch in loader:
-            _, logits = self._eval_step(params, self._put(batch))
-            keep = batch["weight"] > 0
+        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
+            _, logits = self._eval_step(params, batch)
+            keep = np.asarray(batch["weight"]) > 0
             out["logits"].append(np.asarray(logits)[keep])
             out["labels"].append(np.asarray(batch["labels"])[keep])
             for k in extra_keys:
