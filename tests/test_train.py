@@ -93,3 +93,42 @@ def test_fame_end_to_end_synthetic():
     # History recorded per epoch; thresholds within [0, 1].
     assert len(out["history"]) >= 1
     assert all(0 <= t <= 1 for t in out["thresholds"].values())
+
+
+@pytest.mark.slow
+def test_fame_run_determinism():
+    """Two runs with the same seeds produce identical metrics (threefry
+    streams; the reference only attempts this via global torch seeding)."""
+    from fairmultimodal_tpu.data.synthetic import make_common_frames
+    from fairmultimodal_tpu.models.bert import BertConfig
+    from fairmultimodal_tpu.models.text import TextEncoder
+    from fairmultimodal_tpu.pipelines.fame import (
+        FAMEPipelineConfig,
+        run_fame_experiment,
+    )
+    from fairmultimodal_tpu.train.loop import TrainConfig
+
+    s, u = make_common_frames(n_patients=96, n_lab_features=8, seed=5)
+    outs = []
+    for _ in range(2):
+        text = TextEncoder.from_pretrained(
+            "offline/none",
+            fallback_config=BertConfig(vocab_size=256, hidden_size=32,
+                                       num_hidden_layers=1,
+                                       num_attention_heads=2,
+                                       intermediate_size=64,
+                                       max_position_embeddings=64))
+        cfg = FAMEPipelineConfig(
+            train=TrainConfig(lr=1e-3, num_epochs=2, batch_size=32,
+                              rng_impl="threefry"),
+            text_max_length=32, text_batch_size=16, hidden_size=32,
+            demo_layers=1, demo_heads=2, lab_layers=1, lab_heads=2,
+            fusion_hidden=16, save_artifacts=False)
+        outs.append(run_fame_experiment(s, u, cfg, text_encoder=text,
+                                        verbose=False))
+    m0, m1 = outs[0]["metrics"], outs[1]["metrics"]
+    for task in m0:
+        assert m0[task]["f1"] == m1[task]["f1"], task
+        assert m0[task]["aucroc"] == m1[task]["aucroc"], task
+    np.testing.assert_array_equal(outs[0]["trainer"].dynamic_weights,
+                                  outs[1]["trainer"].dynamic_weights)
