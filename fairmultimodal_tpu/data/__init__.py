@@ -9,8 +9,11 @@ from fairmultimodal_tpu.data.split import (
 )
 from fairmultimodal_tpu.data.featurize import FeatureBundle, assemble_features
 from fairmultimodal_tpu.data.loader import BatchIterator, pad_to_multiple
+from fairmultimodal_tpu.data.prefetch import PrefetchLoader, prefetch_to_device
 
 __all__ = [
+    "PrefetchLoader",
+    "prefetch_to_device",
     "multilabel_stratified_split",
     "reference_three_way_split",
     "FeatureBundle",

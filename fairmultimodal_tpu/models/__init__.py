@@ -32,6 +32,11 @@ from fairmultimodal_tpu.models.fairehr import (
     FairEHRCLP,
     contrastive_loss,
 )
+from fairmultimodal_tpu.models.legacy import (
+    BEHRTSequence,
+    EDDIDotFusion,
+    EDDIEnhancementLayer,
+)
 
 __all__ = [
     "BertConfig",
@@ -55,4 +60,7 @@ __all__ = [
     "BEHRTLabOnlyModel",
     "FairEHRCLP",
     "contrastive_loss",
+    "BEHRTSequence",
+    "EDDIDotFusion",
+    "EDDIEnhancementLayer",
 ]
