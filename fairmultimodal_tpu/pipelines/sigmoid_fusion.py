@@ -36,7 +36,7 @@ class SigmoidFusionPipelineConfig:
         lr=1e-4, num_epochs=20, batch_size=16, loss="focal", gamma=1.0,
         optimizer="adam"))
     text_model: str = "emilyalsentzer/Bio_ClinicalBERT"
-    text_max_length: int = 512
+    text_max_length: int = 128      # 09:285 (like 03/04/06/07/08)
     text_batch_size: int = 32
     test_size: float = 0.20
     val_size: float = 0.05
