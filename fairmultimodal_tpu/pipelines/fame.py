@@ -233,7 +233,19 @@ def run_fame_experiment(
     if cfg.save_artifacts:
         ts = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
         best_path = os.path.join(cfg.out_dir, f"best_model_{ts}.npz")
-        save_params_npz(best_path, best_params)
+        save_params_npz(best_path, best_params, metadata={
+            "model": {
+                "num_ages": n_ages, "num_genders": n_genders,
+                "num_ethnicities": n_eth, "num_insurances": n_ins,
+                "lab_token_count": bundle.num_lab_features,
+                "text_embed_size": int(bundle.text_embeddings.shape[1]),
+                "hidden_size": cfg.hidden_size, "demo_layers": cfg.demo_layers,
+                "demo_heads": cfg.demo_heads, "lab_layers": cfg.lab_layers,
+                "lab_heads": cfg.lab_heads, "fusion_hidden": cfg.fusion_hidden,
+            },
+            "thresholds": {k: float(v) for k, v in thresholds.items()},
+            "dynamic_weights": trainer.dynamic_weights.tolist(),
+        })
         np.save(os.path.join(cfg.out_dir, "tracked_dynamic_weights.npy"),
                 trainer.tracked_dynamic_weights, allow_pickle=True)
         np.save(os.path.join(cfg.out_dir, "tracked_sigmoid_weights.npy"),

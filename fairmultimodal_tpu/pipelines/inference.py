@@ -21,7 +21,7 @@ from fairmultimodal_tpu.data.featurize import assemble_features
 from fairmultimodal_tpu.models.fusion import FAMEModel
 from fairmultimodal_tpu.models.text import TextEncoder, encode_note_chunks
 from fairmultimodal_tpu.pipelines.fame import build_model_arrays
-from fairmultimodal_tpu.utils.checkpoint import load_params_npz
+from fairmultimodal_tpu.utils.checkpoint import load_metadata_npz, load_params_npz
 
 __all__ = ["FAMEPredictor", "run_fame_inference"]
 
@@ -92,12 +92,18 @@ def run_fame_inference(
         text_encoder, bundle.note_chunks, max_length=text_max_length)
     arrays = build_model_arrays(bundle)
 
+    meta = load_metadata_npz(params_path) or {}
     n_ages, n_gen, n_eth, n_ins = bundle.vocab_sizes()
     kwargs = dict(num_ages=n_ages, num_genders=n_gen, num_ethnicities=n_eth,
                   num_insurances=n_ins,
                   lab_token_count=bundle.num_lab_features,
                   text_embed_size=bundle.text_embeddings.shape[1])
+    # Self-describing checkpoints: the geometry stored at export time wins
+    # (explicit model_kwargs override both).
+    kwargs.update(meta.get("model", {}))
     kwargs.update(model_kwargs or {})
+    if thresholds is None and "thresholds" in meta:
+        thresholds = meta["thresholds"]
     model = FAMEModel(**kwargs)
 
     import jax
@@ -109,7 +115,9 @@ def run_fame_inference(
                       {k: jnp.asarray(v) for k, v in example.items()})["params"]
     params = load_params_npz(params_path, like)
 
-    pred = FAMEPredictor(model, params, thresholds)
+    dw = (np.asarray(meta["dynamic_weights"], np.float32)
+          if "dynamic_weights" in meta else None)
+    pred = FAMEPredictor(model, params, thresholds, dynamic_weights=dw)
     out = pred.predict_arrays(arrays)
     table = pd.DataFrame({"subject_id": bundle.subject_id})
     for i, t in enumerate(TASKS):

@@ -3,6 +3,7 @@
 from fairmultimodal_tpu.utils.checkpoint import (
     save_params_npz,
     load_params_npz,
+    load_metadata_npz,
     Checkpointer,
 )
 from fairmultimodal_tpu.utils.debug import check_finite_tree, enable_nan_checks
@@ -12,6 +13,7 @@ from fairmultimodal_tpu.utils.rng import make_rng, threefry_key
 __all__ = [
     "save_params_npz",
     "load_params_npz",
+    "load_metadata_npz",
     "Checkpointer",
     "check_finite_tree",
     "enable_nan_checks",

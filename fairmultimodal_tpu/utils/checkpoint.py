@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
-__all__ = ["save_params_npz", "load_params_npz", "Checkpointer"]
+__all__ = ["save_params_npz", "load_params_npz", "load_metadata_npz", "Checkpointer"]
 
 
 def _flatten(tree, prefix=""):
@@ -30,8 +30,19 @@ def _flatten(tree, prefix=""):
     return flat
 
 
-def save_params_npz(path: str, params) -> None:
-    np.savez(path, **_flatten(params))
+_META_KEY = "__metadata_json__"
+
+
+def save_params_npz(path: str, params, metadata: Optional[Dict] = None) -> None:
+    """Flat-key npz export; ``metadata`` (JSON-serializable, e.g. the model
+    geometry) rides along so checkpoints are self-describing."""
+    flat = _flatten(params)
+    if metadata is not None:
+        import json
+
+        flat[_META_KEY] = np.frombuffer(
+            json.dumps(metadata).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
 
 
 def load_params_npz(path: str, like) -> Any:
@@ -47,6 +58,16 @@ def load_params_npz(path: str, like) -> Any:
         leaves.append(arr)
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like), leaves)
+
+
+def load_metadata_npz(path: str) -> Optional[Dict]:
+    """Metadata stored by :func:`save_params_npz` (None when absent)."""
+    import json
+
+    data = np.load(path)
+    if _META_KEY not in data:
+        return None
+    return json.loads(bytes(data[_META_KEY].tolist()).decode())
 
 
 class Checkpointer:

@@ -91,3 +91,25 @@ def test_fame_fit_resume(tmp_path):
     # epoch 3 updated them again.
     assert np.isfinite(t2.dynamic_weights).all()
     assert ck2.latest_step() == 4
+
+
+def test_npz_metadata_roundtrip(tmp_path):
+    from fairmultimodal_tpu.utils.checkpoint import load_metadata_npz
+
+    model, batch = _setup()
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    params = model.init(jax.random.PRNGKey(0), jb["model_inputs"])["params"]
+    path = str(tmp_path / "with_meta.npz")
+    meta = {"model": {"hidden_size": 8}, "thresholds": {"mortality": 0.4},
+            "dynamic_weights": [[0.3, 0.3, 0.4]] * 3}
+    save_params_npz(path, params, metadata=meta)
+    assert load_metadata_npz(path) == meta
+    # params load unaffected by the metadata entry
+    restored = load_params_npz(path, params)
+    np.testing.assert_array_equal(
+        np.asarray(restored["fusion"]["sig_weights"]),
+        np.asarray(params["fusion"]["sig_weights"]))
+    # files without metadata return None
+    path2 = str(tmp_path / "plain.npz")
+    save_params_npz(path2, params)
+    assert load_metadata_npz(path2) is None
