@@ -114,3 +114,29 @@ def test_tp_param_specs_applied():
     assert tuple(spec) == (None, "model")
     out = sharded["behrt_demo"]["bert"]["layer_0"]["attention"]["output_dense"]["kernel"]
     assert tuple(out.sharding.spec) == ("model", None)
+
+
+def test_full_fit_under_mesh():
+    """FAMETrainer.fit end-to-end over a 4x2 mesh: prefetch sharding, epoch
+    loop, validation, dynamic-weight updates all compose."""
+    model = _tiny_model()
+    cfg = TrainConfig(lr=1e-3, num_epochs=2, batch_size=8)
+    mesh = get_mesh(data=4, model=2)
+    trainer = FAMETrainer(model, cfg, np.ones(3, np.float32), mesh=mesh)
+
+    class _Loader:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            yield _batch(8, seed=1)
+            yield _batch(8, seed=2)
+
+    loader = _Loader()
+    jb = jax.tree_util.tree_map(jnp.asarray, _batch(8))
+    params = shard_params_tp(trainer.init_params(jb), mesh)
+    best, history = trainer.fit(params, loader, loader, verbose=False)
+    assert len(history) == 2
+    assert all(np.isfinite(h["val_loss"]) for h in history)
+    np.testing.assert_allclose(trainer.dynamic_weights.sum(axis=1), 1.0,
+                               atol=1e-5)
