@@ -2,11 +2,13 @@
 segment reductions, and fused losses.
 """
 
-from fairmultimodal_tpu.ops.attention import multi_head_attention
+from fairmultimodal_tpu.ops.attention import attention_reference, multi_head_attention
+from fairmultimodal_tpu.ops.flash_attention import flash_attention
 from fairmultimodal_tpu.ops.losses import (
     bce_with_logits,
     focal_loss,
     sigmoid,
 )
 
-__all__ = ["multi_head_attention", "bce_with_logits", "focal_loss", "sigmoid"]
+__all__ = ["multi_head_attention", "attention_reference", "flash_attention",
+           "bce_with_logits", "focal_loss", "sigmoid"]
