@@ -62,7 +62,7 @@ def replicate(tree, mesh: Mesh):
 # Kernels are [in, out]; embeddings [vocab, hidden].
 DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
     # column-parallel: split the output features
-    (r".*(query|key|value)/kernel$", P(None, "model")),
+    (r".*(query|key|value|qkv)/kernel$", P(None, "model")),
     (r".*(intermediate|ffn_in)/kernel$", P(None, "model")),
     # row-parallel: split the input features (all-reduce after)
     (r".*attention/output_dense/kernel$", P("model", None)),
@@ -70,7 +70,7 @@ DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*layer_\d+/output/kernel$", P("model", None)),
     (r".*ffn_out/kernel$", P("model", None)),
     # column-parallel biases
-    (r".*(query|key|value)/bias$", P("model")),
+    (r".*(query|key|value|qkv)/bias$", P("model")),
     (r".*(intermediate|ffn_in)/bias$", P("model")),
 )
 

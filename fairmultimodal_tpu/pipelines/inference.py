@@ -10,7 +10,6 @@ program serves any cohort size.
 
 from __future__ import annotations
 
-import json
 from typing import Dict, Optional
 
 import numpy as np
