@@ -272,3 +272,48 @@ def test_fame_inference_roundtrip(frames, tiny_text, tmp_path):
         dynamic_weights=jnp.full((3, 3), 0.33), deterministic=True
     )["fused_logits"])
     np.testing.assert_allclose(out["probs"][:16], np.asarray(direct), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fame_inference_uses_checkpoint_metadata(frames, tiny_text, tmp_path):
+    """run_fame_inference reconstructs the model purely from the metadata
+    embedded in the exported npz (no geometry kwargs needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fairmultimodal_tpu.data.featurize import assemble_features
+    from fairmultimodal_tpu.models.fusion import FAMEModel
+    from fairmultimodal_tpu.models.text import encode_note_chunks
+    from fairmultimodal_tpu.pipelines.fame import build_model_arrays
+    from fairmultimodal_tpu.pipelines.inference import run_fame_inference
+    from fairmultimodal_tpu.utils.checkpoint import save_params_npz
+
+    s, u = frames
+    bundle = assemble_features(s, u)
+    bundle.text_embeddings = encode_note_chunks(tiny_text, bundle.note_chunks,
+                                                max_length=32, batch_size=16)
+    n_ages, n_gen, n_eth, n_ins = bundle.vocab_sizes()
+    geometry = dict(num_ages=n_ages, num_genders=n_gen, num_ethnicities=n_eth,
+                    num_insurances=n_ins,
+                    lab_token_count=bundle.num_lab_features,
+                    text_embed_size=32, hidden_size=32, demo_layers=1,
+                    demo_heads=2, lab_layers=1, lab_heads=2, fusion_hidden=16)
+    model = FAMEModel(**geometry)
+    arrays = build_model_arrays(bundle)
+    jb = {k: jnp.asarray(v[:4]) for k, v in arrays.items()}
+    params = model.init(jax.random.PRNGKey(0), jb)["params"]
+    path = str(tmp_path / "best.npz")
+    save_params_npz(path, params, metadata={
+        "model": geometry,
+        "thresholds": {"mortality": 0.3, "los": 0.5,
+                       "mechanical_ventilation": 0.7},
+        "dynamic_weights": [[0.33, 0.33, 0.34]] * 3})
+
+    table = run_fame_inference(s, u, path, text_encoder=tiny_text,
+                               text_max_length=32, verbose=False)
+    assert len(table) == bundle.num_patients
+    assert {"mortality_prob", "los_pred"} <= set(table.columns)
+    # Threshold from metadata actually applied.
+    mort = table["mortality_prob"].to_numpy()
+    np.testing.assert_array_equal(table["mortality_pred"].to_numpy(),
+                                  (mort > 0.3).astype(int))
