@@ -69,8 +69,14 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
                    help="tiny geometry for CPU smoke runs")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--reference_compat", action="store_true",
-                   help="reproduce documented reference bugs (e.g. the "
-                        "relative-index split at 10_FAME.py:744-755)")
+                   help="reproduce every documented per-script reference "
+                        "quirk from one switch: the relative-index split "
+                        "(10_FAME.py:744-755), 02's .head(1000) subsample "
+                        "(02:405), and 09's 70-90 age bucket edge (09:57-67)")
+    p.add_argument("--require_hf_weights", action="store_true",
+                   help="fail instead of random-init fallback when the "
+                        "pretrained Bio_ClinicalBERT cannot be loaded "
+                        "(recommended for any real-data run)")
     # Serving (predict pipeline)
     p.add_argument("--params", default=None,
                    help="exported best_model_*.npz for `predict`")
@@ -149,6 +155,14 @@ def run_pipeline(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     dtype = "bfloat16" if args.bf16 else "float32"
 
+    # With --require_hf_weights the encoder is built here so a missing
+    # checkpoint fails fast, before any featurization work.
+    text_encoder = None
+    if getattr(args, "require_hf_weights", False) and name != "behrt":
+        from fairmultimodal_tpu.models.text import TextEncoder
+
+        text_encoder = TextEncoder.from_pretrained(require_weights=True)
+
     if name == "predict":
         import json as _json
 
@@ -165,7 +179,7 @@ def run_pipeline(args) -> int:
                         if args.tiny else None)
         run_fame_inference(
             s, u, args.params, thresholds=thresholds,
-            model_kwargs=model_kwargs,
+            model_kwargs=model_kwargs, text_encoder=text_encoder,
             out_csv=os.path.join(args.out_dir, args.predictions_csv),
             verbose=verbose)
         return 0
@@ -207,7 +221,8 @@ def run_pipeline(args) -> int:
             cfg.hidden_size, cfg.demo_layers, cfg.demo_heads = 64, 1, 2
             cfg.lab_layers, cfg.lab_heads, cfg.fusion_hidden = 1, 2, 32
             cfg.text_max_length = 64
-        out = run_fame_experiment(s, u, cfg, verbose=verbose)
+        out = run_fame_experiment(s, u, cfg, text_encoder=text_encoder,
+                                 verbose=verbose)
         return _report_task_focus(out, args)
 
     if name == "behrt":
@@ -228,10 +243,15 @@ def run_pipeline(args) -> int:
             run_text_only_experiment,
         )
 
-        cfg = TextOnlyPipelineConfig(head=args.head)
+        # 02 always subsamples to 1000 patients (02:405); reproduced under
+        # --reference_compat (explicit --head wins either way).
+        cfg = TextOnlyPipelineConfig(
+            head=args.head if args.head is not None
+            else (1000 if args.reference_compat else None))
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        out = run_text_only_experiment(s, u, cfg, verbose=verbose)
+        out = run_text_only_experiment(s, u, cfg, text_encoder=text_encoder,
+                                      verbose=verbose)
         return _report_task_focus(out, args)
 
     if name == "dfc":
@@ -240,7 +260,8 @@ def run_pipeline(args) -> int:
         cfg = DfCPipelineConfig(dtype=dtype)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        out = run_dfc_experiment(s, u, cfg, verbose=verbose)
+        out = run_dfc_experiment(s, u, cfg, text_encoder=text_encoder,
+                                verbose=verbose)
         return _report_task_focus(out, args)
 
     if name == "advdebias":
@@ -256,7 +277,8 @@ def run_pipeline(args) -> int:
             cfg.stage2_grid = {"learning_rate": [1e-3], "num_iters": [100],
                                "num_nodes": [16], "num_nodes_adv": [8],
                                "dropout_rate": [0.1], "alpha": [1.0]}
-        out = run_adv_debias_experiment(s, u, cfg, verbose=verbose)
+        out = run_adv_debias_experiment(s, u, cfg, text_encoder=text_encoder,
+                                       verbose=verbose)
         return _report_task_focus(out, args)
 
     if name == "fairehrclp":
@@ -268,7 +290,8 @@ def run_pipeline(args) -> int:
         cfg = FairEHRCLPPipelineConfig(dtype=dtype)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        out = run_fairehr_clp_experiment(s, u, cfg, verbose=verbose)
+        out = run_fairehr_clp_experiment(s, u, cfg, text_encoder=text_encoder,
+                                        verbose=verbose)
         return _report_task_focus(out, args)
 
     if name == "average":
@@ -280,7 +303,8 @@ def run_pipeline(args) -> int:
         cfg = AverageFusionPipelineConfig(dtype=dtype, out_dir=args.out_dir)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        out = run_average_fusion_experiment(s, u, cfg, verbose=verbose)
+        out = run_average_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
+                                           verbose=verbose)
         return _report_task_focus(out, args)
 
     if name == "eddi":
@@ -296,7 +320,8 @@ def run_pipeline(args) -> int:
         tinyize(cfg)
         if args.tiny:
             cfg.demo_layers, cfg.demo_heads = 1, 2
-        out = run_eddi_fusion_experiment(s, u, cfg, verbose=verbose)
+        out = run_eddi_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
+                                        verbose=verbose)
         return _report_task_focus(out, args)
 
     if name == "sigmoid":
@@ -305,10 +330,12 @@ def run_pipeline(args) -> int:
             run_sigmoid_fusion_experiment,
         )
 
-        cfg = SigmoidFusionPipelineConfig(dtype=dtype)
+        cfg = SigmoidFusionPipelineConfig(
+            dtype=dtype, reference_compat=args.reference_compat)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
-        out = run_sigmoid_fusion_experiment(s, u, cfg, verbose=verbose)
+        out = run_sigmoid_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
+                                           verbose=verbose)
         return _report_task_focus(out, args)
 
     raise SystemExit(f"unknown pipeline {name!r}")

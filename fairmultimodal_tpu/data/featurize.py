@@ -66,8 +66,10 @@ class FeatureBundle:
         )
 
 
-def get_age_bucket(age) -> str:
-    """10_FAME.py:644-658."""
+def get_age_bucket(age, upper: int = 89) -> str:
+    """10_FAME.py:644-658.  ``upper=90`` reproduces 09's bucket-edge variant
+    (09_multimodal_sigmoid_fusion.py:57-67: the last bucket is 70-90, so
+    age-90 patients land in it instead of "Other")."""
     try:
         age = float(age)
     except (TypeError, ValueError):
@@ -78,8 +80,8 @@ def get_age_bucket(age) -> str:
         return "30-49"
     elif 50 <= age <= 69:
         return "50-69"
-    elif 70 <= age <= 89:
-        return "70-89"
+    elif 70 <= age <= upper:
+        return f"70-{upper}"
     return "Other"
 
 
@@ -137,6 +139,7 @@ def assemble_features(
     structured: pd.DataFrame,
     unstructured: pd.DataFrame,
     require_notes: bool = True,
+    age_bucket_upper: int = 89,
 ) -> FeatureBundle:
     """Merge + featurize the two common CSVs (10_FAME.py:610-731).
 
@@ -145,6 +148,8 @@ def assemble_features(
       unstructured: ``final_unstructured_common.csv`` contents.
       require_notes: drop patients without any valid note chunk
         (``10_FAME.py:629-635``; set False for structured-only models).
+      age_bucket_upper: last age bucket's upper edge — 89 canonically, 90
+        for 09's variant (09:57-67, behind its pipeline's reference_compat).
     """
     unstructured = unstructured.drop(
         columns=["short_term_mortality", "los_binary", "mechanical_ventilation",
@@ -172,7 +177,9 @@ def assemble_features(
 
     # Demographic codes, exactly as the reference derives them: apply the
     # mapper, then pandas category codes over the *observed* sorted values.
-    df["age"] = df["age"].apply(get_age_bucket).astype("category").cat.codes
+    df["age"] = df["age"].apply(
+        lambda a: get_age_bucket(a, upper=age_bucket_upper)
+    ).astype("category").cat.codes
     if "ETHNICITY" in df.columns:
         df["ETHNICITY"] = df["ETHNICITY"].apply(map_ethnicity).astype("category").cat.codes
     else:

@@ -167,9 +167,23 @@ class BEHRTDemo(nn.Module):
         if self.broadcast_dummy:
             # Dropout would de-constify rows; BERT here runs deterministic
             # (its own regularization is irrelevant to a constant input).
+            # Deviation note: the reference's demo-BERT does apply dropout in
+            # training (see PARITY.md) — irrelevant for a constant token but
+            # a real difference if a caller feeds per-row tokens.
             one = bert(dummy_ids[:1], attn_mask[:1], deterministic=True,
                        pool="cls")
             cls = jnp.broadcast_to(one, (dummy_ids.shape[0], one.shape[-1]))
+            # Guard: broadcasting is exact ONLY for row-constant inputs.  A
+            # caller passing per-row tokens would otherwise get silently
+            # wrong outputs; poison them with NaN instead (O(B) int compare —
+            # free next to the 12-layer BERT; caught by finite-tree checks).
+            # All-zero rows are admitted: BatchIterator pads partial batches
+            # with zeros (ids 0, attn 0) and those rows are weight-masked
+            # downstream, so their CLS value is irrelevant.
+            row_eq = jnp.all((dummy_ids == dummy_ids[:1])
+                             & (attn_mask == attn_mask[:1]), axis=1)
+            row_pad = jnp.all((dummy_ids == 0) & (attn_mask == 0), axis=1)
+            cls = jnp.where(jnp.all(row_eq | row_pad), cls, jnp.nan)
         else:
             cls = bert(dummy_ids, attn_mask, deterministic=deterministic,
                        pool="cls")

@@ -60,6 +60,12 @@ class FAMEFusion(nn.Module):
     Returns dict with ``fused_logits`` [B, 3] (fp32), per-modality logits,
     ``sigmoid_weights`` [768], ``gated_vector`` and ``fusion_pre_relu``
     (the extraction artifacts of 10_FAME.py:559-604).
+
+    ``reference_weight_compat`` (default True) reproduces 10_FAME.py:283-285:
+    the mortality task's dynamic-weight row scales the projections for ALL
+    three tasks.  ``False`` is the fixed mode — each task fuses with its own
+    weight row through the shared gate/MLP trunk and takes its own logit
+    (the behavior the reference's per-task ``dynamic_weights`` rows imply).
     """
 
     fusion_hidden: int = 512
@@ -80,21 +86,46 @@ class FAMEFusion(nn.Module):
             w = jnp.full((self.num_tasks, 3), 0.33, self.dtype)
         else:
             w = dynamic_weights.astype(self.dtype)
-        # Reference applies the mortality row to every task (10_FAME.py:283-285).
-        row = w[0]
-        fused = jnp.concatenate(
-            [row[0] * demo_proj, row[1] * lab_proj, row[2] * text_proj], axis=-1)
 
         sig_w = self.param("sig_weights", nn.initializers.normal(1.0), (3 * p,))
         sig = nn.sigmoid(sig_w).astype(self.dtype)
-        gated = fused * sig
+        dense1 = nn.Dense(self.fusion_hidden, dtype=self.dtype,
+                          name="fusion_dense1")
+        dropout = nn.Dropout(0.1)
+        dense2 = nn.Dense(self.num_tasks, dtype=self.dtype,
+                          name="fusion_dense2")
 
-        pre_relu = nn.Dense(self.fusion_hidden, dtype=self.dtype,
-                            name="fusion_dense1")(gated)
-        h = nn.relu(pre_relu)
-        h = nn.Dropout(0.1)(h, deterministic=deterministic)
-        fused_logits = nn.Dense(self.num_tasks, dtype=self.dtype,
-                                name="fusion_dense2")(h)
+        if self.reference_weight_compat:
+            # Reference quirk: the *mortality* row's dynamic weights are
+            # applied to every task's fusion (10_FAME.py:283-285).
+            row = w[0]
+            fused = jnp.concatenate(
+                [row[0] * demo_proj, row[1] * lab_proj, row[2] * text_proj],
+                axis=-1)
+            gated = fused * sig
+            pre_relu = dense1(gated)
+            h = nn.relu(pre_relu)
+            h = dropout(h, deterministic=deterministic)
+            fused_logits = dense2(h)
+        else:
+            # Fixed mode: each task t fuses with its OWN weight row w[t]
+            # through the shared gate + MLP trunk; task t's logit is the t-th
+            # output of its own trunk pass (diagonal over the task axes).
+            projs = jnp.stack([demo_proj, lab_proj, text_proj], axis=1)  # [B, 3, p]
+            # scaled[b, t, m, :] = w[t, m] * projs[b, m, :]
+            scaled = w[None, :, :, None] * projs[:, None]     # [B, T, 3, p]
+            fused_t = scaled.reshape(
+                scaled.shape[0], self.num_tasks, 3 * p)       # [B, T, 3p]
+            gated_t = fused_t * sig
+            pre_relu_t = dense1(gated_t)                      # [B, T, 512]
+            h = nn.relu(pre_relu_t)
+            h = dropout(h, deterministic=deterministic)
+            out = dense2(h)                                   # [B, T, T]
+            fused_logits = jnp.diagonal(out, axis1=1, axis2=2)
+            # Extraction artifacts keep the mortality-row trunk's tensors so
+            # shapes match the reference npz contract ([B, 768] / [B, 512]).
+            gated = gated_t[:, 0]
+            pre_relu = pre_relu_t[:, 0]
 
         return {
             "fused_logits": fused_logits.astype(jnp.float32),
@@ -133,6 +164,7 @@ class FAMEModel(nn.Module):
     lab_layers: int = 2
     lab_heads: int = 8
     fusion_hidden: int = 512
+    reference_weight_compat: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -151,9 +183,12 @@ class FAMEModel(nn.Module):
             self.lab_token_count, self.hidden_size, num_heads=self.lab_heads,
             num_layers=self.lab_layers, dtype=self.dtype, name="behrt_lab",
         )(batch["lab_features"], deterministic)
-        return FAMEFusion(self.fusion_hidden, dtype=self.dtype, name="fusion")(
-            demo_emb, lab_emb, batch["text_embedding"], dynamic_weights,
-            deterministic)
+        return FAMEFusion(
+            self.fusion_hidden,
+            reference_weight_compat=self.reference_weight_compat,
+            dtype=self.dtype, name="fusion",
+        )(demo_emb, lab_emb, batch["text_embedding"], dynamic_weights,
+          deterministic)
 
 
 class AverageFusionModel(nn.Module):

@@ -87,6 +87,10 @@ class TextEncoder:
                 {"params": p}, ids, mask, deterministic=True, pool="cls")
         )
 
+    #: True when this encoder fell back to random init + HashingTokenizer
+    #: (set by :meth:`from_pretrained`; manual constructions leave it False).
+    is_fallback: bool = False
+
     @classmethod
     def from_pretrained(
         cls,
@@ -94,9 +98,19 @@ class TextEncoder:
         dtype=jnp.float32,
         fallback_config: Optional[BertConfig] = None,
         seed: int = 0,
+        require_weights: bool = False,
     ) -> "TextEncoder":
         """HF weights + tokenizer when reachable, deterministic random init
-        with a hashing tokenizer otherwise."""
+        with a hashing tokenizer otherwise.
+
+        The fallback keeps every shape/dtype contract but its embedding
+        *quality* is garbage for real data, so it warns loudly (tests pass an
+        explicit ``fallback_config`` and get no warning).  With
+        ``require_weights=True`` the fallback is fatal instead — use it for
+        any real-data run (the reference's text modality is the *pretrained*
+        frozen Bio_ClinicalBERT, 10_FAME.py:725-731; random init silently
+        breaks AUROC/EDDI parity).
+        """
         try:
             params = load_hf_bert_params(model_name)
             import transformers
@@ -104,14 +118,32 @@ class TextEncoder:
             tok = _HFTokenizerAdapter(
                 transformers.AutoTokenizer.from_pretrained(model_name))
             config = bio_clinical_bert_config()
-        except Exception:
+            fallback = False
+        except Exception as e:
+            if require_weights:
+                raise RuntimeError(
+                    f"HF weights for {model_name!r} are required "
+                    f"(--require_hf_weights) but could not be loaded: {e}"
+                ) from e
+            if fallback_config is None:
+                import warnings
+
+                warnings.warn(
+                    f"HF weights for {model_name!r} unavailable ({e}); using "
+                    f"DETERMINISTIC RANDOM INIT + HashingTokenizer. Text "
+                    f"embeddings will be meaningless on real data — pass "
+                    f"require_weights=True (--require_hf_weights) to make "
+                    f"this fatal.", stacklevel=2)
             config = fallback_config or bio_clinical_bert_config()
             module = BertEncoderModel(config, dtype=dtype)
             dummy = jnp.zeros((1, 8), jnp.int32)
             params = module.init(jax.random.PRNGKey(seed), dummy,
                                  jnp.ones((1, 8), jnp.int32))["params"]
             tok = HashingTokenizer(config.vocab_size)
-        return cls(config, params, tok, dtype=dtype)
+            fallback = True
+        enc = cls(config, params, tok, dtype=dtype)
+        enc.is_fallback = fallback
+        return enc
 
     def encode_ids(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
         """[N, S] -> [N, H] CLS embeddings."""

@@ -106,10 +106,14 @@ def _pick_block_q(s: int) -> int:
     # once per q block.
     if s <= 1024:
         return s
-    for bq in (256, 128):
-        if s % bq == 0:
-            return bq
-    return s
+    # Above 1024 the whole-K/V-in-VMEM contract breaks: even with a blocked
+    # forward, the BACKWARD kernel has no q-blocking and would materialize an
+    # S x S fp32 score tile (> 4 MB) plus 7 [S, D] residents — OOM-prone in
+    # VMEM.  Refuse loudly; multi_head_attention's gate falls back to the
+    # XLA reference path for such shapes.
+    raise ValueError(
+        f"flash_attention: unsupported sequence length {s} (> 1024); the "
+        f"single-K/V-tile kernel requires S <= 1024 — use attention_reference")
 
 
 def _fwd_impl(q, k, v, mask, *, interpret: bool = False):

@@ -161,19 +161,23 @@ def prepare_experiment(
     split_method: str = "iterstrat",
     pos_weight_mode: str = "balanced",      # "balanced" | "neg_over_pos" | "neg_over_pos_clip10" | "none"
     seed: int = 42,
+    require_hf_weights: bool = False,
+    age_bucket_upper: int = 89,
     verbose: bool = True,
 ) -> PreparedExperiment:
     if head:
         structured = structured.head(head)
         unstructured = unstructured.head(head)
     bundle = assemble_features(structured, unstructured,
-                               require_notes=require_notes)
+                               require_notes=require_notes,
+                               age_bucket_upper=age_bucket_upper)
     if verbose:
         print(f"After filtering, number of rows: {bundle.num_patients}")
 
     if need_text:
         if text_encoder is None:
-            text_encoder = TextEncoder.from_pretrained(text_model)
+            text_encoder = TextEncoder.from_pretrained(
+                text_model, require_weights=require_hf_weights)
         bundle.text_embeddings = encode_note_chunks(
             text_encoder, bundle.note_chunks, max_length=text_max_length,
             batch_size=text_batch_size)

@@ -7,13 +7,22 @@ the *current batch* with gender as the sensitive attribute (08:470-474) and
 the fused logit is ``sum_m w_m * logit_m`` with
 ``w_m = w_prev + beta * (eddi_max - eddi_m)``, beta=0.3 (08:348-402).
 The loss adds the reference's regularizer ``mean((mort_logit - 1)^2)``
-(08:486-487).  Weights persist across epochs (08:910-916).
+(08:486-487).
 
-TPU design: the whole update — batch EDDI from hard predictions via one-hot
-segment sums, weight nudge, fused logits, focal loss, backward — is ONE
-jitted step.  The reference's per-batch ``compute_eddi`` host roundtrip
-(numpy on CPU per batch) disappears; the weights ride through the step as a
-[3, 3] array carry.
+Weight persistence protocol (08:861-916): ``old_eddi_weights`` is held FIXED
+for every batch of an epoch (train, val, and eval all receive the same
+``old_eddi_weights`` argument); each batch fuses with the *effective* weights
+``old + beta * (eddi_max - eddi_m)`` recomputed fresh from that batch's EDDI,
+and the persistent weights are replaced once per epoch by the LAST validation
+batch's effective weights (08:911-916) — skipped on the early-stop epoch,
+because the reference ``break``s before the update (08:908-909).  The base
+value when no old weights exist yet is 0.33 (08:389-392), not 1/3.
+
+TPU design: the whole per-batch computation — batch EDDI from hard
+predictions via one-hot segment sums, weight nudge, fused logits, focal
+loss, backward — is ONE jitted step.  The reference's per-batch
+``compute_eddi`` host roundtrip (numpy on CPU per batch) disappears; the
+fixed per-epoch weights ride through the step as a [3, 3] array input.
 """
 
 from __future__ import annotations
@@ -138,6 +147,9 @@ def run_eddi_fusion_experiment(
                           deterministic=not train,
                           rngs={"dropout": rng} if train else None)
         tm = out["task_modality_logits"]                      # [B, T, M]
+        # Effective fusion weights for THIS batch: w_prev + beta*(gap), with
+        # w_prev fixed for the whole epoch (08:389-392,454-468).  w_new is
+        # returned so the caller can persist the LAST val batch's weights.
         w_new, eddi = batch_eddi_weights(
             tm, batch["labels"], batch["model_inputs"]["gender_ids"],
             w_prev, cfg.beta, weight=batch["weight"])
@@ -172,7 +184,8 @@ def run_eddi_fusion_experiment(
     rng, init_rng = jax.random.split(rng)
     params = model.init(init_rng, example["model_inputs"])["params"]
     opt_state = tx.init(params)
-    weights = jnp.full((3, 3), 1.0 / 3.0, jnp.float32)
+    # Reference base weight when no old weights exist yet is 0.33 (08:389-392).
+    weights = jnp.full((3, 3), 0.33, jnp.float32)
 
     sched = PlateauScheduler(cfg.train.lr, cfg.train.scheduler_factor,
                              cfg.train.scheduler_patience)
@@ -180,17 +193,20 @@ def run_eddi_fusion_experiment(
     best_params = jax.tree_util.tree_map(jnp.copy, params)
     history = []
     for epoch in range(cfg.train.num_epochs):
+        # `weights` (= old_eddi_weights) stays FIXED for every batch of this
+        # epoch; each step fuses with weights + beta*(batch EDDI gap).
         total, nb = 0.0, 0
         for batch in prep.loaders["train"]:
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, loss, weights = train_step(
+            params, opt_state, loss, _ = train_step(
                 params, opt_state, put(batch), weights, step_rng)
             total += float(loss)
             nb += 1
-        val_losses = []
+        val_losses, last_val_weights = [], None
         for batch in prep.loaders["val"]:
-            vl, weights, _ = eval_step(params, put(batch), weights)
+            vl, w_new, _ = eval_step(params, put(batch), weights)
             val_losses.append(float(vl))
+            last_val_weights = w_new
         val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
         if verbose:
             print(f"[Epoch {epoch + 1}] Train Loss: {total / max(nb, 1):.4f} "
@@ -203,9 +219,16 @@ def run_eddi_fusion_experiment(
                         "val_loss": val_loss,
                         "weights": np.asarray(weights).tolist()})
         if stop:
+            # The reference breaks BEFORE the weight update (08:908-916), so
+            # the early-stop epoch does not persist its val-batch weights.
             if verbose:
                 print("Early stopping triggered.")
             break
+        if last_val_weights is not None:
+            weights = last_val_weights
+            if verbose:
+                print("Updated old EDDI weights for next epoch:",
+                      np.asarray(weights).round(4).tolist())
 
     logits_all, labels_all = [], []
     sens = {"age": [], "ethnicity": [], "insurance": []}

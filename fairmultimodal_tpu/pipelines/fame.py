@@ -53,6 +53,12 @@ class FAMEPipelineConfig:
     out_dir: str = "."
     head: Optional[int] = None        # 05_FPM-style .head(n) subsample
     reference_compat: bool = False
+    # 10_FAME.py:283-285 quirk: the mortality row's dynamic weights scale all
+    # three tasks' fusions.  False = per-task weight rows (the fixed mode).
+    reference_weight_compat: bool = True
+    # Make a missing pretrained Bio_ClinicalBERT fatal instead of the loud
+    # random-init fallback (real-data runs should set this).
+    require_hf_weights: bool = False
     mesh: Optional[object] = None
     save_artifacts: bool = True
     checkpoint_dir: Optional[str] = None   # enables orbax per-epoch resume
@@ -138,7 +144,9 @@ def run_fame_experiment(
 
     # Text precompute (frozen encoder), batched.
     if text_encoder is None:
-        text_encoder = TextEncoder.from_pretrained(cfg.text_model, dtype=dtype)
+        text_encoder = TextEncoder.from_pretrained(
+            cfg.text_model, dtype=dtype,
+            require_weights=cfg.require_hf_weights)
     bundle.text_embeddings = encode_note_chunks(
         text_encoder, bundle.note_chunks, max_length=cfg.text_max_length,
         batch_size=cfg.text_batch_size)
@@ -178,7 +186,8 @@ def run_fame_experiment(
         text_embed_size=bundle.text_embeddings.shape[1],
         hidden_size=cfg.hidden_size, demo_layers=cfg.demo_layers,
         demo_heads=cfg.demo_heads, lab_layers=cfg.lab_layers,
-        lab_heads=cfg.lab_heads, fusion_hidden=cfg.fusion_hidden, dtype=dtype)
+        lab_heads=cfg.lab_heads, fusion_hidden=cfg.fusion_hidden,
+        reference_weight_compat=cfg.reference_weight_compat, dtype=dtype)
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     trainer = FAMETrainer(
@@ -242,6 +251,7 @@ def run_fame_experiment(
                 "hidden_size": cfg.hidden_size, "demo_layers": cfg.demo_layers,
                 "demo_heads": cfg.demo_heads, "lab_layers": cfg.lab_layers,
                 "lab_heads": cfg.lab_heads, "fusion_hidden": cfg.fusion_hidden,
+                "reference_weight_compat": cfg.reference_weight_compat,
             },
             "thresholds": {k: float(v) for k, v in thresholds.items()},
             "dynamic_weights": trainer.dynamic_weights.tolist(),
@@ -250,10 +260,12 @@ def run_fame_experiment(
                 trainer.tracked_dynamic_weights, allow_pickle=True)
         np.save(os.path.join(cfg.out_dir, "tracked_sigmoid_weights.npy"),
                 np.array(trainer.tracked_sigmoid_weights))
+        # extract_and_save_vectors parity (10_FAME.py:559-604): the reference
+        # npz keys are gated_vectors [N, 768], fusion_pre_relu_vectors
+        # [N, 512], labels, age, ethnicity, insurance; `logits` is an extra.
+        vectors = trainer.extract_vectors(best_params, loaders["test"])
         np.savez(os.path.join(cfg.out_dir, f"extracted_vectors_{ts}.npz"),
-                 logits=test_out["logits"], labels=test_out["labels"],
-                 age=test_out["age"], ethnicity=test_out["ethnicity"],
-                 insurance=test_out["insurance"])
+                 logits=test_out["logits"], **vectors)
         artifacts = {"best_model": best_path}
         if verbose:
             print("Saved best model to", best_path)

@@ -5,10 +5,11 @@ Demo-BERT + lab encoder + text with three learnable 256-d sigmoid gates, no
 fairness term in training (plain FocalLoss gamma=1 summed over tasks).
 Splits use a plain sklearn stratified split on mortality only (09:592-593).
 
-Reference bug NOT replicated by default (documented at 09:605): the original
-realigns precomputed embeddings with ``argsort`` of subject ids against split
-rows, silently misaligning patients.  Our arrays are indexed consistently;
-there is nothing to misalign — the flag exists only in the reference.
+Reference bug NOT replicated (documented at 09:605): the original realigns
+precomputed embeddings with ``argsort`` of subject ids against split rows,
+silently misaligning patients.  Our arrays are indexed consistently; there
+is nothing to misalign.  ``reference_compat`` covers the reproducible 09
+quirk instead: its age mapper's 70-90 last bucket (09:57-67).
 """
 
 from __future__ import annotations
@@ -47,6 +48,9 @@ class SigmoidFusionPipelineConfig:
     lab_layers: int = 2
     lab_heads: int = 8
     dtype: str = "float32"
+    # 09's own age mapper uses a 70-90 last bucket (09:57-67) instead of the
+    # canonical 70-89; True reproduces it (age-90 patients bucket vs "Other").
+    reference_compat: bool = False
 
 
 def run_sigmoid_fusion_experiment(
@@ -66,7 +70,9 @@ def run_sigmoid_fusion_experiment(
         text_batch_size=cfg.text_batch_size, test_size=cfg.test_size,
         val_size=cfg.val_size, split_seed=cfg.split_seed,
         split_method="sklearn", pos_weight_mode="none",
-        seed=cfg.train.seed, verbose=verbose)
+        seed=cfg.train.seed,
+        age_bucket_upper=90 if cfg.reference_compat else 89,
+        verbose=verbose)
 
     n_ages, n_gen, n_eth, n_ins = prep.vocab_sizes()
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32

@@ -196,12 +196,56 @@ class FAMETrainer:
             # [B, modality, task]
             return jax.nn.sigmoid(jnp.stack([ml["demo"], ml["lab"], ml["text"]], axis=1))
 
+        def dyn_stats_step(params, batch, dyn_w):
+            """Per-batch sufficient statistics for the dynamic-weight update.
+
+            Device output is O(1): per sensitive attribute, group counts [G]
+            and per-(modality, task) error counts [M, T, G] — replacing the
+            reference's full-train-set logits-to-CPU pass (10_FAME.py:335-351)
+            and round 1's per-batch [B, M, T] prob pulls.
+            """
+            probs = modality_probs_step(params, batch, dyn_w)      # [B, M, T]
+            preds = (probs > cfg.threshold).astype(jnp.float32)
+            err = (preds != batch["labels"][:, None, :]).astype(jnp.float32)
+            w = batch["weight"]
+            mi = batch["model_inputs"]
+            stats = []
+            for key, g in (("age_ids", GROUP_SIZES[0]),
+                           ("ethnicity_ids", GROUP_SIZES[1]),
+                           ("insurance_ids", GROUP_SIZES[2])):
+                onehot = (mi[key][:, None] == jnp.arange(g)[None, :]).astype(
+                    jnp.float32) * w[:, None]                       # [B, G]
+                counts = jnp.sum(onehot, axis=0)                    # [G]
+                errors = jnp.einsum("bmt,bg->mtg", err, onehot)     # [M, T, G]
+                stats.append((counts, errors))
+            return stats
+
+        def extract_step(params, batch, dyn_w):
+            out = self.model.apply({"params": params}, batch["model_inputs"],
+                                   dynamic_weights=dyn_w, deterministic=True)
+            return out["fused_logits"], out["gated_vector"], out["fusion_pre_relu"]
+
         # Under a mesh the batch leaves are device_put with a "data" sharding
         # (see _put_batch); jit + GSPMD propagates shardings and inserts the
         # gradient psums — no per-step code difference.
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
         self._modality_step = jax.jit(modality_probs_step)
+        self._dyn_stats_step = jax.jit(dyn_stats_step)
+        self._extract_step = jax.jit(extract_step)
+
+    def _rng_data(self) -> np.ndarray:
+        """Raw uint32 words of the dropout RNG stream (checkpointable)."""
+        if jnp.issubdtype(self._rng.dtype, jax.dtypes.prng_key):
+            return np.asarray(jax.random.key_data(self._rng))
+        return np.asarray(self._rng)
+
+    def _restore_rng(self, data) -> None:
+        if jnp.issubdtype(self._rng.dtype, jax.dtypes.prng_key):
+            self._rng = jax.random.wrap_key_data(
+                jnp.asarray(data), impl=jax.random.key_impl(self._rng))
+        else:
+            self._rng = jnp.asarray(data)
 
     def _put_batch(self, batch):
         if self.mesh is not None:
@@ -286,41 +330,35 @@ class FAMETrainer:
         (task, modality) combined EDDI over the three sensitive attributes,
         and nudges each weight by clip(beta*(eddi_max - eddi_m), ±0.05) with
         floor 0.1 and renormalization.
+
+        The whole pass stays on device: each batch reduces to per-attribute
+        (counts [G], errors [M, T, G]) sufficient statistics (exact integer
+        sums in fp32, N << 2^24), so the host receives O(1) floats per batch
+        instead of the reference's full logits array (10_FAME.py:335-351).
+        EDDI from those stats is bit-identical to ``compute_eddi`` with
+        ``complete_groups`` (see ``fairness.eddi.eddi_from_stats``).
+        Note: ``threshold`` must match the jitted step's compiled threshold
+        (``config.threshold``) — it is kept as an argument for signature
+        parity but the on-device binarization uses the config value.
         """
         from fairmultimodal_tpu.data.prefetch import PrefetchLoader
+        from fairmultimodal_tpu.fairness.eddi import eddi_from_stats
 
         dyn_w = jnp.asarray(self.dynamic_weights)
-        # Accumulate per (task, modality, attribute) group stats on the host
-        # from device-reduced per-batch counts.
-        preds_all, labels_all = [], []
-        sens_all = {"age": [], "ethnicity": [], "insurance": []}
+        counts_tot = [np.zeros(g, np.float64) for g in GROUP_SIZES]
+        errors_tot = [np.zeros((3, 3, g), np.float64) for g in GROUP_SIZES]
         for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
-            probs = np.asarray(self._modality_step(params, batch, dyn_w))  # [B, M, T]
-            keep = np.asarray(batch["weight"]) > 0
-            preds_all.append((probs > threshold)[keep])
-            labels_all.append(np.asarray(batch["labels"])[keep])
-            mi = batch["model_inputs"]
-            sens_all["age"].append(np.asarray(mi["age_ids"])[keep])
-            sens_all["ethnicity"].append(np.asarray(mi["ethnicity_ids"])[keep])
-            sens_all["insurance"].append(np.asarray(mi["insurance_ids"])[keep])
-        preds = np.concatenate(preds_all)          # [N, M, T]
-        labels = np.concatenate(labels_all)        # [N, T]
-        sens = {k: np.concatenate(v) for k, v in sens_all.items()}
-
-        from fairmultimodal_tpu.fairness.eddi import compute_eddi
+            stats = self._dyn_stats_step(params, batch, dyn_w)
+            for a, (counts, errors) in enumerate(stats):
+                counts_tot[a] += np.asarray(counts, np.float64)
+                errors_tot[a] += np.asarray(errors, np.float64)
 
         new_w = np.zeros_like(self.dynamic_weights)
-        complete = {"age": EXPECTED_AGE_CODES, "ethnicity": EXPECTED_ETHNICITY_CODES,
-                    "insurance": EXPECTED_INSURANCE_CODES}
         for t in range(3):
             eddis = []
             for m in range(3):
-                per_attr = []
-                for attr in ("age", "ethnicity", "insurance"):
-                    e, _ = compute_eddi(labels[:, t], preds[:, m, t].astype(float),
-                                        sens[attr], threshold=threshold,
-                                        complete_groups=complete[attr])
-                    per_attr.append(e)
+                per_attr = [eddi_from_stats(counts_tot[a], errors_tot[a][m, t])
+                            for a in range(3)]
                 eddis.append(combined_eddi(*per_attr))
             e_max = max(eddis)
             prev = self.dynamic_weights[t]
@@ -330,6 +368,28 @@ class FAMETrainer:
         self.dynamic_weights = new_w.astype(np.float32)
         return self.dynamic_weights
 
+    def extract_vectors(self, params, loader) -> Dict[str, np.ndarray]:
+        """Extraction pass matching ``extract_and_save_vectors``
+        (10_FAME.py:559-604): per test row, the 768-d ``gated_vectors`` and
+        512-d ``fusion_pre_relu_vectors`` plus labels/age/ethnicity/insurance
+        under the reference's exact npz key names."""
+        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
+
+        dyn_w = jnp.asarray(self.dynamic_weights)
+        out = {"gated_vectors": [], "fusion_pre_relu_vectors": [], "labels": [],
+               "age": [], "ethnicity": [], "insurance": []}
+        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
+            logits, gated, pre_relu = self._extract_step(params, batch, dyn_w)
+            keep = np.asarray(batch["weight"]) > 0
+            out["gated_vectors"].append(np.asarray(gated)[keep])
+            out["fusion_pre_relu_vectors"].append(np.asarray(pre_relu)[keep])
+            out["labels"].append(np.asarray(batch["labels"])[keep])
+            mi = batch["model_inputs"]
+            out["age"].append(np.asarray(mi["age_ids"])[keep])
+            out["ethnicity"].append(np.asarray(mi["ethnicity_ids"])[keep])
+            out["insurance"].append(np.asarray(mi["insurance_ids"])[keep])
+        return {k: np.concatenate(v) if v else np.zeros(0) for k, v in out.items()}
+
     def fit(self, params, train_loader, val_loader, verbose: bool = True,
             on_epoch_end: Optional[Callable] = None, checkpointer=None):
         """Full protocol: epochs + plateau LR + early stop + best-state capture
@@ -338,8 +398,11 @@ class FAMETrainer:
         ``checkpointer`` (a ``utils.checkpoint.Checkpointer``) enables
         restartable training — absent in the reference (SURVEY §5,
         save-best-only): the full train state (params, opt state, best
-        params, dynamic weights, schedule counters) is saved per epoch and
-        restored automatically when a checkpoint exists.
+        params, dynamic weights, schedule counters, dropout RNG stream, and
+        the tracked per-epoch histories) is saved per epoch and restored
+        automatically when a checkpoint exists, so a resumed run continues
+        bit-identically (the train loader's shuffle phase is re-aligned to
+        the resumed epoch when the loader exposes one).
         """
         cfg = self.config
         opt_state = self.init_opt_state(params)
@@ -371,8 +434,23 @@ class FAMETrainer:
                 stopper.counter = int(stopper.counter)
                 opt_state = self.set_lr(opt_state, sched.lr)
                 start_epoch = latest
+                aux = checkpointer.load_aux(latest)
+                if aux is not None:
+                    self._restore_rng(aux["rng"])
+                    self.history = list(aux["history"])
+                    self.tracked_dynamic_weights = {
+                        t: list(v) for t, v in aux["tracked_dynamic_weights"].items()}
+                    self.tracked_sigmoid_weights = list(aux["tracked_sigmoid_weights"])
+                    csv_rows = [tuple(r) for r in aux["csv_rows"]]
                 if verbose:
                     print(f"Resumed from checkpoint at epoch {latest}.")
+
+        # Re-align the train loader's shuffle phase so epoch k of a resumed
+        # run draws the same (seed, epoch) permutation as an uninterrupted
+        # run (BatchIterator seeds per (seed, epoch) and counts iterations).
+        inner = getattr(train_loader, "it", train_loader)
+        if hasattr(inner, "epoch"):
+            inner.epoch = start_epoch
 
         for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.time()
@@ -416,6 +494,13 @@ class FAMETrainer:
                     "scalars": np.asarray([sched.lr, sched.best, sched.num_bad,
                                            stopper.best, stopper.counter],
                                           np.float64),
+                })
+                checkpointer.save_aux(epoch + 1, {
+                    "rng": self._rng_data(),
+                    "history": self.history,
+                    "tracked_dynamic_weights": self.tracked_dynamic_weights,
+                    "tracked_sigmoid_weights": self.tracked_sigmoid_weights,
+                    "csv_rows": csv_rows,
                 })
             if on_epoch_end is not None:
                 on_epoch_end(epoch, params)

@@ -92,6 +92,19 @@ class Checkpointer:
         path = os.path.join(self.directory, f"step_{step}")
         return self._ckpt.restore(path, target=like)
 
+    def save_aux(self, step: int, aux: Dict[str, Any]) -> str:
+        """Sidecar for variable-shape state (RNG words, tracked histories)
+        that the fixed-template orbax restore can't carry."""
+        path = os.path.join(self.directory, f"aux_{step}.npy")
+        np.save(path, np.asarray(aux, dtype=object), allow_pickle=True)
+        return path
+
+    def load_aux(self, step: int) -> Optional[Dict[str, Any]]:
+        path = os.path.join(self.directory, f"aux_{step}.npy")
+        if not os.path.exists(path):
+            return None
+        return np.load(path, allow_pickle=True).item()
+
     def latest_step(self) -> Optional[int]:
         steps = []
         for name in os.listdir(self.directory):

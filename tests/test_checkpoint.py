@@ -83,14 +83,26 @@ def test_fame_fit_resume(tmp_path):
     t2 = FAMETrainer(model, cfg2, np.ones(3, np.float32), rngs_seed=0)
     params2 = t2.init_params(jax.tree_util.tree_map(jnp.asarray, batch))
     ck2 = Checkpointer(ckdir)
-    _, history = t2.fit(params2, loader, loader, verbose=False,
-                        checkpointer=ck2)
-    # Resumed: only epochs 3..4 were run.
-    assert [h["epoch"] for h in history] == [3, 4]
-    # The restored dynamic weights matched the end-of-epoch-2 state before
-    # epoch 3 updated them again.
+    best2, history = t2.fit(params2, loader, loader, verbose=False,
+                            checkpointer=ck2)
+    # Resumed: epochs 3..4 were run, and the aux sidecar restored the
+    # pre-resume history so artifacts cover ALL epochs, not just post-resume.
+    assert [h["epoch"] for h in history] == [1, 2, 3, 4]
+    assert history[:2] == t1.history[:2]
+    assert len(t2.tracked_sigmoid_weights) == 4
+    assert all(len(v) == 4 for v in t2.tracked_dynamic_weights.values())
     assert np.isfinite(t2.dynamic_weights).all()
     assert ck2.latest_step() == 4
+
+    # Bit-identical continuation: an uninterrupted 4-epoch run (same seeds,
+    # fresh checkpoint dir) must produce the same dynamic weights and history
+    # — the RNG stream is checkpointed, so resume is exact, not approximate.
+    t3 = FAMETrainer(model, cfg2, np.ones(3, np.float32), rngs_seed=0)
+    params3 = t3.init_params(jax.tree_util.tree_map(jnp.asarray, batch))
+    _, history3 = t3.fit(params3, loader, loader, verbose=False,
+                         checkpointer=Checkpointer(str(tmp_path / "ck3")))
+    np.testing.assert_array_equal(t2.dynamic_weights, t3.dynamic_weights)
+    assert [h["val_loss"] for h in history] == [h["val_loss"] for h in history3]
 
 
 def test_npz_metadata_roundtrip(tmp_path):

@@ -67,3 +67,13 @@ def test_bf16_inputs(qkvm):
     ref = attention_reference(q, k, v, mask)
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_unsupported_sequence_length_raises():
+    """S > 1024 breaks the single-K/V-tile VMEM contract (the backward has
+    no q-blocking); flash_attention must refuse instead of compiling an
+    OOM-prone kernel."""
+    B, H, S, D = 1, 1, 1040, 32
+    q = jnp.zeros((B, H, S, D), jnp.float32)
+    with pytest.raises(ValueError, match="1024"):
+        flash_attention(q, q, q, None, True)

@@ -123,6 +123,38 @@ def test_fame_dynamic_weights_change_output_and_mortality_row_rules_all():
                                np.asarray(out_c["fused_logits"]), atol=1e-6)
 
 
+def test_fame_weight_compat_flag_flips_behavior():
+    """reference_weight_compat=False applies each task's OWN weight row;
+    True reuses the mortality row for all tasks (10_FAME.py:283-285)."""
+    model, params, batch = _tiny_fame()
+    fixed = FAMEModel(num_ages=4, num_genders=2, num_ethnicities=5,
+                      num_insurances=6, lab_token_count=10,
+                      text_embed_size=32, hidden_size=32, demo_layers=1,
+                      demo_heads=2, lab_layers=1, lab_heads=2,
+                      fusion_hidden=16, reference_weight_compat=False)
+    # Same param structure: the non-compat trunk reuses the same modules.
+    w_same = jnp.array([[0.5, 0.3, 0.2]] * 3)
+    out_c = model.apply({"params": params}, batch, dynamic_weights=w_same)
+    out_f = fixed.apply({"params": params}, batch, dynamic_weights=w_same)
+    # Identical rows -> the two modes agree exactly (same trunk math).
+    np.testing.assert_allclose(np.asarray(out_c["fused_logits"]),
+                               np.asarray(out_f["fused_logits"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_c["gated_vector"]),
+                               np.asarray(out_f["gated_vector"]), atol=1e-5)
+    # Distinct rows: compat ignores rows 1-2, fixed mode does not.
+    w_diff = jnp.array([[0.5, 0.3, 0.2], [0.1, 0.8, 0.1], [0.2, 0.2, 0.6]])
+    out_c2 = model.apply({"params": params}, batch, dynamic_weights=w_diff)
+    out_f2 = fixed.apply({"params": params}, batch, dynamic_weights=w_diff)
+    # Compat: only row 0 matters, so logits equal the w_same run's.
+    np.testing.assert_allclose(np.asarray(out_c2["fused_logits"]),
+                               np.asarray(out_c["fused_logits"]), atol=1e-6)
+    # Fixed: task 0 still fuses with row 0 (unchanged), tasks 1-2 move.
+    f1, f2 = np.asarray(out_f["fused_logits"]), np.asarray(out_f2["fused_logits"])
+    np.testing.assert_allclose(f1[:, 0], f2[:, 0], atol=1e-6)
+    assert not np.allclose(f1[:, 1], f2[:, 1])
+    assert not np.allclose(f1[:, 2], f2[:, 2])
+
+
 def test_fame_jit_and_grad():
     model, params, batch = _tiny_fame()
 
@@ -207,3 +239,29 @@ def test_encode_note_chunks_max_aggregation(tiny_text_encoder):
     e1 = np.asarray(tiny_text_encoder.encode_ids(jnp.asarray(ids1[None]), jnp.asarray(m1[None])))[0]
     e2 = np.asarray(tiny_text_encoder.encode_ids(jnp.asarray(ids2[None]), jnp.asarray(m2[None])))[0]
     np.testing.assert_allclose(got[0], np.maximum(e1, e2), atol=1e-4)
+
+
+def test_behrt_demo_broadcast_guard_poisons_per_row_tokens():
+    """broadcast_dummy=True is exact only for row-constant dummy inputs; the
+    guard must poison (NaN) outputs for per-row token inputs instead of
+    returning silently wrong values."""
+    from fairmultimodal_tpu.models.behrt import BEHRTDemo
+
+    m = BEHRTDemo(num_ages=4, num_genders=2, num_ethnicities=5,
+                  num_insurances=6, hidden_size=32, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=64)
+    b = 4
+    const = {
+        "dummy_ids": jnp.zeros((b, 1), jnp.int32),
+        "attn_mask": jnp.ones((b, 1), jnp.int32),
+    }
+    ids = jnp.zeros(b, jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), const["dummy_ids"],
+                    const["attn_mask"], ids, ids, ids, ids)["params"]
+    ok = m.apply({"params": params}, const["dummy_ids"], const["attn_mask"],
+                 ids, ids, ids, ids)
+    assert np.isfinite(np.asarray(ok)).all()
+    per_row = jnp.arange(b, dtype=jnp.int32)[:, None] % 2
+    bad = m.apply({"params": params}, per_row, const["attn_mask"],
+                  ids, ids, ids, ids)
+    assert np.isnan(np.asarray(bad)).all()

@@ -179,6 +179,14 @@ def test_eddi_fusion_pipeline(frames, tiny_text):
     w = out["weights"]
     assert w.shape == (3, 3)
     assert np.isfinite(w).all()
+    # Per-epoch persistence protocol (08:861-916): old_eddi_weights is held
+    # fixed for every batch of an epoch — epoch 1 trains with the 0.33 base
+    # (08:389-392) and only the per-epoch update (from the last val batch)
+    # moves it.  Each update adds beta*(eddi_max - eddi_m) >= 0.
+    hist_w = [np.asarray(h["weights"]) for h in out["history"]]
+    np.testing.assert_allclose(hist_w[0], 0.33, atol=1e-6)
+    if len(hist_w) > 1:
+        assert (hist_w[1] >= hist_w[0] - 1e-6).all()
 
 
 @pytest.mark.slow

@@ -46,9 +46,11 @@ def test_calibrate_all_negative_default():
 
 
 @pytest.mark.slow
-def test_fame_end_to_end_synthetic():
+def test_fame_end_to_end_synthetic(tmp_path):
     """Full pipeline on synthetic data: trains, calibrates, evaluates, and
-    beats chance AUROC with a tiny model."""
+    beats chance AUROC with a tiny model.  Also checks the artifact surface:
+    the extracted-vectors npz carries the reference's exact key set and
+    shapes (10_FAME.py:597-603)."""
     from fairmultimodal_tpu.data.synthetic import make_common_frames
     from fairmultimodal_tpu.models.bert import BertConfig
     from fairmultimodal_tpu.models.text import TextEncoder
@@ -75,10 +77,22 @@ def test_fame_end_to_end_synthetic():
                           lambda_l1=0.001, rng_impl="threefry", patience=10),
         text_max_length=32, text_batch_size=16,
         hidden_size=32, demo_layers=1, demo_heads=2, lab_layers=1, lab_heads=2,
-        fusion_hidden=16, save_artifacts=False)
+        fusion_hidden=16, save_artifacts=True, out_dir=str(tmp_path))
     out = run_fame_experiment(s, u, cfg, text_encoder=tiny_text, verbose=False)
 
     assert set(out["metrics"]) == {"mortality", "los", "mechanical_ventilation"}
+    # extract_and_save_vectors parity (10_FAME.py:559-604): exact key names,
+    # [N_test, 3*256] gated and [N_test, fusion_hidden] pre-ReLU vectors.
+    npz_files = sorted(tmp_path.glob("extracted_vectors_*.npz"))
+    assert npz_files, list(tmp_path.iterdir())
+    vec = np.load(npz_files[-1])
+    n_test = len(out["splits"]["test"])
+    assert {"gated_vectors", "fusion_pre_relu_vectors", "labels", "age",
+            "ethnicity", "insurance"} <= set(vec.files)
+    assert vec["gated_vectors"].shape == (n_test, 3 * 256)
+    assert vec["fusion_pre_relu_vectors"].shape == (n_test, cfg.fusion_hidden)
+    assert vec["labels"].shape == (n_test, 3)
+    assert np.isfinite(vec["gated_vectors"]).all()
     for task, m in out["metrics"].items():
         assert np.isfinite(m["aucroc"]), task
     # Labs carry a strong linear signal; even a tiny model should beat chance
@@ -93,6 +107,75 @@ def test_fame_end_to_end_synthetic():
     # History recorded per epoch; thresholds within [0, 1].
     assert len(out["history"]) >= 1
     assert all(0 <= t <= 1 for t in out["thresholds"].values())
+
+
+def test_dynamic_weight_update_on_device_parity():
+    """The O(1)-transfer on-device dynamic-weight pass must reproduce the
+    host compute_eddi protocol (10_FAME.py:315-399) exactly."""
+    import jax.numpy as jnp
+
+    from fairmultimodal_tpu.fairness.eddi import combined_eddi, compute_eddi
+    from fairmultimodal_tpu.models.fusion import FAMEModel
+    from fairmultimodal_tpu.pipelines.fame import make_loaders
+    from fairmultimodal_tpu.train.loop import GROUP_SIZES, FAMETrainer, TrainConfig
+
+    rng = np.random.default_rng(0)
+    n, labs = 50, 6
+    arrays = {
+        "demo_dummy_ids": np.zeros((n, 1), np.int32),
+        "demo_attn_mask": np.ones((n, 1), np.int32),
+        "age_ids": rng.integers(0, 4, n).astype(np.int32),
+        "gender_ids": rng.integers(0, 2, n).astype(np.int32),
+        "ethnicity_ids": rng.integers(0, 5, n).astype(np.int32),
+        "insurance_ids": rng.integers(0, 6, n).astype(np.int32),
+        "lab_features": rng.normal(size=(n, labs)).astype(np.float32),
+        "text_embedding": rng.normal(size=(n, 16)).astype(np.float32),
+    }
+    labels = rng.integers(0, 2, (n, 3)).astype(np.float32)
+    loaders = make_loaders(arrays, labels, {"train": np.arange(n)},
+                           batch_size=16)
+    model = FAMEModel(num_ages=4, num_genders=2, num_ethnicities=5,
+                      num_insurances=6, lab_token_count=labs,
+                      text_embed_size=16, hidden_size=16, demo_layers=1,
+                      demo_heads=2, lab_layers=1, lab_heads=2, fusion_hidden=8)
+    trainer = FAMETrainer(model, TrainConfig(rng_impl="threefry"), np.ones(3))
+    params = trainer.init_params(next(iter(loaders["train"])))
+
+    # Expected: the reference's host protocol over the same modality probs.
+    dyn = jnp.asarray(trainer.dynamic_weights)
+    preds_all, labels_all = [], []
+    sens_all = {"age": [], "ethnicity": [], "insurance": []}
+    for batch in loaders["train"]:
+        probs = np.asarray(trainer._modality_step(
+            params, {k: jnp.asarray(v) if not isinstance(v, dict) else
+                     {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                     for k, v in batch.items()}, dyn))
+        keep = np.asarray(batch["weight"]) > 0
+        preds_all.append((probs > 0.5)[keep])
+        labels_all.append(batch["labels"][keep])
+        mi = batch["model_inputs"]
+        for a, k in (("age", "age_ids"), ("ethnicity", "ethnicity_ids"),
+                     ("insurance", "insurance_ids")):
+            sens_all[a].append(mi[k][keep])
+    preds = np.concatenate(preds_all)
+    y = np.concatenate(labels_all)
+    sens = {k: np.concatenate(v) for k, v in sens_all.items()}
+    expected = np.zeros((3, 3), np.float32)
+    for t in range(3):
+        eddis = []
+        for m in range(3):
+            per_attr = [compute_eddi(y[:, t], preds[:, m, t].astype(float),
+                                     sens[attr], threshold=0.5,
+                                     complete_groups=range(GROUP_SIZES[a]))[0]
+                        for a, attr in enumerate(("age", "ethnicity",
+                                                  "insurance"))]
+            eddis.append(combined_eddi(*per_attr))
+        upd = np.clip(1.0 * (max(eddis) - np.asarray(eddis)), -0.05, 0.05)
+        w = np.maximum(trainer.dynamic_weights[t] + upd, 0.1)
+        expected[t] = w / w.sum()
+
+    got = trainer.update_dynamic_weights(params, loaders["train"])
+    np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
 @pytest.mark.slow
