@@ -12,9 +12,14 @@
 // Exposed as a plain C ABI consumed from Python via ctypes
 // (fairmultimodal_tpu/data/native.py); no pybind11 dependency.
 //
-// Semantics matched to the reference:
-//   * rows whose numeric field does not parse are skipped (== pandas
-//     to_numeric(errors="coerce") + NaN-ignoring mean/sum)
+// Semantics matched to the reference (the pandas path in data/etl.py):
+//   * events inner-merge against ALL ICU stays of their (subject, hadm) —
+//     an admission with multiple stays duplicates each event once per stay,
+//     with that stay's intime driving the window test and hour_bin
+//     (etl.py:383-386 merges on (subject_id, hadm_id) without dedup)
+//   * rows whose numeric field does not parse still CREATE their group
+//     (pandas keeps the NaN row): NaN-skipping sum of an all-NaN group is
+//     0.0, mean is NaN — reproduced at emission time
 //   * the time window test is inclusive on both ends (pandas .between(0, 24))
 //   * bin = floor(hours_since_admission / bin_hours)
 //   * timestamp column = first of {charttime, starttime, storetime,
@@ -29,6 +34,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -193,12 +199,14 @@ void* fastetl_aggregate(const char* path, const int64_t* stay_subj,
   }
   gzbuffer(f, 1 << 20);
 
-  std::unordered_map<uint64_t, double> stay_intime;
+  // All intimes per (subject, hadm): an admission with multiple ICU stays
+  // must process each event once per stay, like the pandas inner merge.
+  std::unordered_map<uint64_t, std::vector<double>> stay_intime;
   stay_intime.reserve((size_t)n_stays * 2);
   for (int64_t i = 0; i < n_stays; ++i) {
     uint64_t key = ((uint64_t)(uint32_t)stay_subj[i] << 32) |
                    (uint32_t)stay_hadm[i];
-    stay_intime.emplace(key, intime_epoch[i]);
+    stay_intime[key].push_back(intime_epoch[i]);
   }
   std::unordered_map<int64_t, bool> item_ok;
   item_ok.reserve((size_t)n_itemids * 2);
@@ -296,22 +304,40 @@ void* fastetl_aggregate(const char* path, const int64_t* stay_subj,
     double t = parse_timestamp(line.data() + fields[col_time].first,
                                fields[col_time].second);
     if (!std::isfinite(t)) continue;
-    double dt = t - it->second;
-    if (dt < 0.0 || dt > window_secs) continue;
 
-    char vbuf[64];
-    size_t vlen = fields[col_value].second;
-    if (vlen == 0 || vlen >= sizeof(vbuf)) continue;
-    memcpy(vbuf, line.data() + fields[col_value].first, vlen);
-    vbuf[vlen] = 0;
-    char* end = nullptr;
-    double v = strtod(vbuf, &end);
-    if (end == vbuf || *end != 0 || !std::isfinite(v)) continue;
+    // Parse the numeric field once; an unparseable value (pandas NaN after
+    // to_numeric(errors="coerce")) still creates its group below so the
+    // emitted aggregate matches pandas' NaN-skipping sum (0.0) / mean (NaN).
+    bool has_v = false;
+    double v = 0.0;
+    {
+      char vbuf[64];
+      size_t vlen = fields[col_value].second;
+      if (vlen > 0 && vlen < sizeof(vbuf)) {
+        memcpy(vbuf, line.data() + fields[col_value].first, vlen);
+        vbuf[vlen] = 0;
+        char* end = nullptr;
+        double parsed = strtod(vbuf, &end);
+        if (end != vbuf && *end == 0 && std::isfinite(parsed)) {
+          has_v = true;
+          v = parsed;
+        }
+      }
+    }
 
-    AggKey key{subj, hadm, (int32_t)(dt / bin_secs), item};
-    AggVal& a = agg[key];
-    a.sum += v;
-    a.count += 1;
+    // One aggregation per stay whose window admits the event (the pandas
+    // merge duplicates the row per stay; different intimes give different
+    // hour bins and, for sum tables, genuinely double-counted values).
+    for (double intime : it->second) {
+      double dt = t - intime;
+      if (dt < 0.0 || dt > window_secs) continue;
+      AggKey key{subj, hadm, (int32_t)(dt / bin_secs), item};
+      AggVal& a = agg[key];
+      if (has_v) {
+        a.sum += v;
+        a.count += 1;
+      }
+    }
   }
   gzclose(f);
 
@@ -327,8 +353,13 @@ void* fastetl_aggregate(const char* path, const int64_t* stay_subj,
     h->hadm.push_back(kv.first.hadm);
     h->bin.push_back(kv.first.bin);
     h->itemid.push_back(kv.first.itemid);
-    h->value.push_back(agg_mode == 1 ? kv.second.sum
-                                     : kv.second.sum / (double)kv.second.count);
+    // pandas parity for all-NaN groups: sum -> 0.0, mean -> NaN.
+    h->value.push_back(
+        agg_mode == 1
+            ? kv.second.sum
+            : (kv.second.count > 0
+                   ? kv.second.sum / (double)kv.second.count
+                   : std::numeric_limits<double>::quiet_NaN()));
   }
   return h;
 }

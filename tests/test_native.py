@@ -55,7 +55,9 @@ def _pandas_reference(df, stays, itemids, agg):
     d.columns = [c.lower() for c in d.columns]
     d["value"] = pd.to_numeric(d["value"].astype(str).str.strip('"'),
                                errors="coerce")
-    d = d.dropna(subset=["value"])
+    # NaN values stay as rows (etl.py coerces then groups without dropna):
+    # all-NaN groups give sum 0.0 / mean NaN.  The merge duplicates each
+    # event once per matching ICU stay (etl.py:383-386).
     d = d.merge(stay_df, on=["subject_id", "hadm_id"])
     t = pd.to_datetime(d["charttime"])
     d["hours"] = ((t - base).dt.total_seconds() - d["intime_epoch"]) / 3600.0
@@ -96,6 +98,57 @@ def test_aggregate_parity(tmp_path, lib_ok, agg, quoted):
     np.testing.assert_array_equal(o_bin, ref["bin"].to_numpy())
     np.testing.assert_array_equal(o_item, ref["itemid"].to_numpy())
     np.testing.assert_allclose(o_val, ref["value"].to_numpy(), rtol=1e-10)
+
+
+@pytest.mark.parametrize("agg", ["mean", "sum"])
+def test_multi_stay_admission_parity(tmp_path, lib_ok, agg):
+    """An admission with several ICU stays joins each event against EVERY
+    stay (different intimes -> different hour bins; sum tables double-count),
+    exactly like the pandas inner merge.  Also covers all-unparseable groups
+    (sum -> 0.0, mean -> NaN)."""
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2150-01-01")
+    # Subject 1/hadm 10 has THREE stays, 6h and 30h apart; plus two
+    # single-stay admissions.
+    stays = [(1, 10, base),
+             (1, 10, base + pd.Timedelta(hours=6)),
+             (1, 10, base + pd.Timedelta(hours=30)),
+             (2, 20, base + pd.Timedelta(days=2)),
+             (3, 30, base + pd.Timedelta(days=5))]
+    path = str(tmp_path / f"multi_{agg}.csv.gz")
+    df = _write_events(path, rng, stays, n_rows=400)
+    # Force one group whose only value is unparseable.
+    extra = pd.DataFrame([{
+        "SUBJECT_ID": 3, "HADM_ID": 30,
+        "CHARTTIME": (base + pd.Timedelta(days=5, hours=1)
+                      ).strftime("%Y-%m-%d %H:%M:%S"),
+        "ITEMID": 100, "VALUE": "NotANumber"}])
+    df = pd.concat([df, extra], ignore_index=True)
+    with gzip.open(path, "wt") as f:
+        f.write(",".join(df.columns) + "\n")
+        for _, r in df.iterrows():
+            f.write(",".join(str(v) for v in r.values) + "\n")
+
+    epoch = pd.Timestamp("1970-01-01")
+    subj = np.array([s for s, _, _ in stays], np.int64)
+    hadm = np.array([h for _, h, _ in stays], np.int64)
+    intime = np.array([(t - epoch).total_seconds() for _, _, t in stays])
+    itemids = np.array([100, 200, 300, 400], np.int64)
+
+    o_subj, o_hadm, o_bin, o_item, o_val = native.aggregate_events_native(
+        path, subj, hadm, intime, itemids, window_hours=24.0, bin_hours=2.0,
+        agg=agg)
+    ref = _pandas_reference(df, stays, set(itemids.tolist()), agg)
+
+    assert len(o_subj) == len(ref), (len(o_subj), len(ref))
+    np.testing.assert_array_equal(o_subj, ref["subject_id"].to_numpy())
+    np.testing.assert_array_equal(o_bin, ref["bin"].to_numpy())
+    np.testing.assert_array_equal(o_item, ref["itemid"].to_numpy())
+    np.testing.assert_allclose(o_val, ref["value"].to_numpy(), rtol=1e-10)
+    # The multi-stay admission must contribute more aggregate rows than a
+    # dedup-to-first-stay implementation would produce.
+    first_only = _pandas_reference(df, stays[:1] + stays[3:], set(itemids), agg)
+    assert len(ref) > len(first_only)
 
 
 def test_no_itemid_filter(tmp_path, lib_ok):
