@@ -30,7 +30,8 @@ import sys
 from typing import Optional
 
 PIPELINES = ("data", "behrt", "bioclinicalbert", "dfc", "advdebias", "fpm",
-             "fairehrclp", "average", "eddi", "sigmoid", "fame", "predict")
+             "fairehrclp", "average", "eddi", "sigmoid", "fame", "predict",
+             "legacy-behrt", "legacy-eddi")
 
 _SCRIPT_TO_PIPELINE = {
     "00": "data", "01": "behrt", "02": "bioclinicalbert", "03": "dfc",
@@ -136,6 +137,34 @@ def _report_task_focus(out, args) -> int:
 def run_pipeline(args) -> int:
     verbose = not args.quiet
     name = args.pipeline
+
+    if name == "legacy-behrt":
+        # Sequence BEHRT (FinalCode/New/02_BEHRT.py) — structured-only, its
+        # own multi-admission data shape (make_admission_frame for
+        # --synthetic; final_structured_common.csv otherwise).
+        import pandas as pd
+
+        from fairmultimodal_tpu.pipelines import (
+            LegacyBEHRTPipelineConfig,
+            run_legacy_behrt_experiment,
+        )
+
+        if args.synthetic:
+            from fairmultimodal_tpu.data.synthetic import make_admission_frame
+
+            frame = make_admission_frame(n_subjects=args.synthetic,
+                                         seed=args.seed)
+        else:
+            frame = pd.read_csv(os.path.join(args.data_dir,
+                                             "final_structured_common.csv"))
+        cfg = LegacyBEHRTPipelineConfig(
+            reference_compat=args.reference_compat)
+        _apply_overrides(cfg.train, args)
+        if args.tiny:
+            cfg.hidden_size, cfg.num_hidden_layers = 64, 1
+            cfg.num_attention_heads = 2
+        out = run_legacy_behrt_experiment(frame, cfg, verbose=verbose)
+        return _report_task_focus(out, args)
 
     if name == "data":
         from fairmultimodal_tpu.data.etl import run_etl
@@ -322,6 +351,22 @@ def run_pipeline(args) -> int:
             cfg.demo_layers, cfg.demo_heads = 1, 2
         out = run_eddi_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
                                         verbose=verbose)
+        return _report_task_focus(out, args)
+
+    if name == "legacy-eddi":
+        from fairmultimodal_tpu.pipelines import (
+            LegacyEDDIPipelineConfig,
+            run_legacy_eddi_experiment,
+        )
+
+        cfg = LegacyEDDIPipelineConfig(
+            dtype=dtype, reference_compat=args.reference_compat)
+        _apply_overrides(cfg.train, args)
+        tinyize(cfg)
+        if args.tiny:
+            cfg.demo_layers, cfg.demo_heads = 1, 2
+        out = run_legacy_eddi_experiment(s, u, cfg, text_encoder=text_encoder,
+                                         verbose=verbose)
         return _report_task_focus(out, args)
 
     if name == "sigmoid":

@@ -23,10 +23,13 @@ from fairmultimodal_tpu import LABEL_COLUMNS
 
 __all__ = ["FeatureBundle", "assemble_features", "zscore", "compute_pos_weights"]
 
-# Columns never used as lab features (10_FAME.py:700-702).
+# Columns never used as lab features (10_FAME.py:700-702).  The legacy-era
+# readmission label (emitted by our ETL for SURVEY §2.4 parity; absent from
+# the reference's final CSVs) must not leak into the lab feature set.
 EXCLUDE_COLS = {
     "subject_id", "ROW_ID", "hadm_id", "ICUSTAY_ID",
     "short_term_mortality", "los_binary", "mechanical_ventilation",
+    "readmission_within_30d", "readmission_within_30_days",
     "age", "GENDER", "GENDERS", "ETHNICITY", "INSURANCE",
 }
 
@@ -140,6 +143,7 @@ def assemble_features(
     unstructured: pd.DataFrame,
     require_notes: bool = True,
     age_bucket_upper: int = 89,
+    label_columns: Optional[Sequence[str]] = None,
 ) -> FeatureBundle:
     """Merge + featurize the two common CSVs (10_FAME.py:610-731).
 
@@ -150,7 +154,11 @@ def assemble_features(
         (``10_FAME.py:629-635``; set False for structured-only models).
       age_bucket_upper: last age bucket's upper edge — 89 canonically, 90
         for 09's variant (09:57-67, behind its pipeline's reference_compat).
+      label_columns: task label columns to stack (default the three final-era
+        tasks; the legacy EDDI pipeline passes
+        ``("short_term_mortality", "readmission_within_30d")``).
     """
+    label_columns = list(label_columns or LABEL_COLUMNS)
     unstructured = unstructured.drop(
         columns=["short_term_mortality", "los_binary", "mechanical_ventilation",
                  "age", "GENDER", "ETHNICITY", "INSURANCE"],
@@ -161,7 +169,7 @@ def assemble_features(
     if df.empty:
         raise ValueError("Merged DataFrame is empty. Check your merge keys.")
 
-    for col in LABEL_COLUMNS:
+    for col in label_columns:
         df[col] = df[col].astype(int)
 
     note_columns = [c for c in df.columns if c.startswith("note_")]
@@ -216,7 +224,7 @@ def assemble_features(
         ethnicity_codes=df["ETHNICITY"].to_numpy(np.int32),
         insurance_codes=df["INSURANCE"].to_numpy(np.int32),
         labs=labs,
-        labels=df[list(LABEL_COLUMNS)].to_numpy(np.float32),
+        labels=df[label_columns].to_numpy(np.float32),
         lab_columns=lab_cols,
         note_chunks=chunks,
     )

@@ -2,22 +2,19 @@
 
 The reference splits with ``iterstrat.MultilabelStratifiedShuffleSplit``
 (``10_FAME.py:733-742``: 20% test, then 5% of train+val as val, both seeded
-42).  That package is not available here, so this is an independent numpy
-implementation of the underlying algorithm — "On the Stratification of
-Multi-Label Data" (Sechidis, Tsoumakas & Vlahavas, ECML-PKDD 2011):
+42).  Two implementations live here:
 
-1. Compute per-fold desired sample counts ``c_j`` and per-(label, fold)
-   desired counts ``c_{l,j}``.
-2. Repeatedly pick the label with the fewest remaining positive samples,
-   and assign each of its remaining samples to the fold with the greatest
-   remaining demand for that label (ties → greatest remaining capacity,
-   then seeded random).
-3. Distribute label-free samples by remaining fold capacity.
-
-Index-for-index parity with iterstrat is not guaranteed (tie-break order is
-implementation-defined), but the stratification guarantees — per-label
-proportions across folds — are the same, which is what AUROC/EDDI parity
-actually needs.
+- ``method="iterstrat_exact"`` (the DEFAULT) delegates to
+  :mod:`fairmultimodal_tpu.data.iterstrat_exact` — a line-faithful
+  re-derivation of the iterstrat package that reproduces its seed-42 index
+  sets bit-for-bit (same RandomState consumption order, same tie-breaks,
+  same ceil-based fold sizing).  This is what AUROC/EDDI-within-0.001
+  parity on real data requires: a different test set makes metric parity
+  unreachable regardless of model parity.
+- ``method="sechidis"`` keeps the round-1 independent numpy implementation
+  of the underlying algorithm ("On the Stratification of Multi-Label Data",
+  Sechidis, Tsoumakas & Vlahavas, ECML-PKDD 2011) — same stratification
+  guarantees, implementation-defined tie-break order.
 """
 
 from __future__ import annotations
@@ -33,6 +30,7 @@ def multilabel_stratified_split(
     labels: np.ndarray,
     test_size: float,
     seed: int = 42,
+    method: str = "iterstrat_exact",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Split indices into (rest, test) with per-label stratification.
 
@@ -40,10 +38,18 @@ def multilabel_stratified_split(
       labels: [N, L] binary label matrix.
       test_size: fraction (0..1) or absolute count of the test fold.
       seed: RNG seed for shuffling and tie-breaking.
+      method: "iterstrat_exact" (index-exact vendored iterstrat, default) or
+        "sechidis" (independent implementation, kept for comparison).
 
     Returns:
       (rest_idx, test_idx) sorted integer index arrays.
     """
+    if method == "iterstrat_exact":
+        from fairmultimodal_tpu.data.iterstrat_exact import (
+            multilabel_stratified_shuffle_split,
+        )
+
+        return multilabel_stratified_shuffle_split(labels, test_size, seed)
     labels = np.asarray(labels, dtype=np.int64)
     n = len(labels)
     if test_size >= 1:

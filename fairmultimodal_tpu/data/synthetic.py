@@ -67,6 +67,9 @@ def make_common_frames(
     mort = (1 / (1 + np.exp(-logit_mort)) > 0.5).astype(int)
     los = (1 / (1 + np.exp(-logit_los)) > 0.5).astype(int)
     vent = (1 / (1 + np.exp(-logit_vent)) > 0.5).astype(int)
+    # Legacy-era label (mortality+readmission generation, SURVEY §2.4).
+    logit_readm = labs @ np.roll(w, 2) - 0.9 + 0.3 * rng.normal(size=n_patients)
+    readm = (1 / (1 + np.exp(-logit_readm)) > 0.5).astype(int)
 
     lab_cols = {f"lab_t{50800 + i}": labs[:, i] for i in range(n_lab_features)}
     structured = pd.DataFrame({
@@ -85,6 +88,7 @@ def make_common_frames(
         "short_term_mortality": mort,
         "los_binary": los,
         "mechanical_ventilation": vent,
+        "readmission_within_30d": readm,
         **lab_cols,
     })
 
@@ -118,6 +122,50 @@ def make_common_frames(
         **note_cols,
     })
     return structured, unstructured
+
+
+def make_admission_frame(
+    n_subjects: int = 80,
+    max_admissions: int = 4,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Synthetic multi-admission structured frame for the legacy sequence
+    BEHRT (FinalCode/New/02_BEHRT.py): one row per admission with the
+    columns its data prep consumes — ADMITTIME/DISCHTIME/DEATHTIME,
+    FIRST_WARDID/LAST_WARDID, demographics, and the three task labels.
+    Labels carry a weak signal through the ward ids so the tiny e2e test can
+    assert learning.
+    """
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2150-01-01")
+    rows = []
+    hadm_counter = 90_000
+    for s in range(n_subjects):
+        sid = 20_000 + s
+        n_adm = int(rng.integers(1, max_admissions + 1))
+        age = int(rng.integers(15, 90))
+        gender = str(rng.choice(["M", "F"]))
+        eth = str(rng.choice(_ETHNICITIES))
+        ins = str(rng.choice(_INSURANCES))
+        risk = float(rng.normal())
+        for a in range(n_adm):
+            hadm_counter += 1
+            admit = base + pd.Timedelta(days=int(rng.integers(0, 900)) + 30 * a)
+            disch = admit + pd.Timedelta(hours=float(rng.uniform(10, 300)))
+            ward = int(rng.integers(1, 20))
+            mort = int(risk + 0.15 * ward / 10 + rng.normal(0, 0.6) > 1.0)
+            rows.append({
+                "subject_id": sid, "hadm_id": hadm_counter,
+                "ADMITTIME": admit, "DISCHTIME": disch,
+                "DEATHTIME": disch + pd.Timedelta(days=1) if mort else pd.NaT,
+                "FIRST_WARDID": ward, "LAST_WARDID": int(rng.integers(1, 20)),
+                "age": age, "GENDER": gender, "ETHNICITY": eth,
+                "INSURANCE": ins,
+                "short_term_mortality": mort,
+                "los_binary": int(risk + rng.normal(0, 0.6) > 0.3),
+                "mechanical_ventilation": int(-risk + rng.normal(0, 0.6) > -0.4),
+            })
+    return pd.DataFrame(rows)
 
 
 def write_raw_mimic(out_dir: str, n_subjects: int = 40, seed: int = 0) -> None:

@@ -22,10 +22,12 @@ from typing import Any, Dict
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fairmultimodal_tpu.models.behrt import BEHRTDemo, BEHRTLab
 from fairmultimodal_tpu.models.bert import BertConfig, BertEncoderModel
 from fairmultimodal_tpu.models.fusion import _Projector
 
-__all__ = ["BEHRTSequence", "EDDIEnhancementLayer", "EDDIDotFusion"]
+__all__ = ["BEHRTSequence", "EDDIEnhancementLayer", "EDDIDotFusion",
+           "LegacyEDDIFull"]
 
 
 class BEHRTSequence(nn.Module):
@@ -132,3 +134,41 @@ class EDDIDotFusion(nn.Module):
         logits = nn.Dense(self.num_tasks, dtype=self.dtype, name="dense2")(h)
         return {"logits": logits.astype(jnp.float32),
                 "branch_scalars": fused.astype(jnp.float32)}
+
+
+class LegacyEDDIFull(nn.Module):
+    """Full legacy EDDI-dot experiment model (FinalCode/Code/EDDI.py:225-322):
+    BEHRT-Demo + BEHRT-Lab encoders + precomputed text embedding through
+    :class:`EDDIDotFusion`, TWO logits (mortality, readmission-within-30d —
+    the legacy task era; EDDI.py:319-322 splits ``logits[:, 0]/[:, 1]``)."""
+
+    num_ages: int
+    num_genders: int
+    num_ethnicities: int
+    num_insurances: int
+    lab_token_count: int
+    hidden_size: int = 768
+    demo_layers: int = 12
+    demo_heads: int = 12
+    lab_layers: int = 2
+    lab_heads: int = 8
+    num_tasks: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], deterministic: bool = True):
+        demo = BEHRTDemo(self.num_ages, self.num_genders, self.num_ethnicities,
+                         self.num_insurances, hidden_size=self.hidden_size,
+                         num_hidden_layers=self.demo_layers,
+                         num_attention_heads=self.demo_heads,
+                         dtype=self.dtype, name="behrt_demo")(
+            batch["demo_dummy_ids"], batch["demo_attn_mask"], batch["age_ids"],
+            batch["gender_ids"], batch["ethnicity_ids"], batch["insurance_ids"],
+            deterministic)
+        lab = BEHRTLab(self.lab_token_count, self.hidden_size,
+                       num_heads=self.lab_heads, num_layers=self.lab_layers,
+                       dtype=self.dtype, name="behrt_lab")(
+            batch["lab_features"], deterministic)
+        return EDDIDotFusion(num_tasks=self.num_tasks, dtype=self.dtype,
+                             name="fusion")(
+            demo, lab, batch["text_embedding"], deterministic)

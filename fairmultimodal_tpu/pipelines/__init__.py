@@ -42,6 +42,12 @@ from fairmultimodal_tpu.pipelines.fairehr_clp import (
     run_fairehr_clp_experiment,
 )
 from fairmultimodal_tpu.pipelines.fame import FAMEPipelineConfig, run_fame_experiment
+from fairmultimodal_tpu.pipelines.legacy import (
+    LegacyBEHRTPipelineConfig,
+    LegacyEDDIPipelineConfig,
+    run_legacy_behrt_experiment,
+    run_legacy_eddi_experiment,
+)
 from fairmultimodal_tpu.pipelines.sigmoid_fusion import (
     SigmoidFusionPipelineConfig,
     run_sigmoid_fusion_experiment,
@@ -61,4 +67,6 @@ __all__ = [
     "AverageFusionPipelineConfig", "run_average_fusion_experiment",
     "EDDIFusionPipelineConfig", "run_eddi_fusion_experiment",
     "SigmoidFusionPipelineConfig", "run_sigmoid_fusion_experiment",
+    "LegacyBEHRTPipelineConfig", "run_legacy_behrt_experiment",
+    "LegacyEDDIPipelineConfig", "run_legacy_eddi_experiment",
 ]

@@ -74,9 +74,13 @@ def make_split(labels: np.ndarray, test_size: float, val_size: float,
                stratify_task: int = 0) -> Dict[str, np.ndarray]:
     """Two-stage split. ``method``:
 
-    - "iterstrat": iterative multilabel stratification (01/04/05/06/07/08/10).
-    - "skmultilearn": same algorithm family (02/03) — shares our
-      implementation; the reference packages differ only in tie-breaking.
+    - "iterstrat": index-exact vendored iterstrat MSSS
+      (01/04/05/06/07/08/10 — 10_FAME.py:733-742); ``val_size`` is a
+      fraction of train+val, like the reference's second MSSS.
+    - "skmultilearn": index-faithful vendored order-2 iterative
+      stratification (02/03 — 02:430-455); 02 computes the val fraction as
+      ``val_size / (1 - test_size)`` (``val_fraction = 0.05 / 0.8``) so the
+      val set is ``val_size`` of the WHOLE cohort.
     - "sklearn": single-task stratified shuffle on ``stratify_task``
       (09_multimodal_sigmoid_fusion.py:592-593).
     """
@@ -93,6 +97,17 @@ def make_split(labels: np.ndarray, test_size: float, val_size: float,
             stratify=labels[train_val, stratify_task])
         return {"train": np.sort(train), "val": np.sort(val),
                 "test": np.sort(test)}
+    if method == "skmultilearn":
+        from fairmultimodal_tpu.data.iterstrat_exact import (
+            iterative_train_test_split,
+        )
+
+        train_val, test = iterative_train_test_split(labels, test_size, seed)
+        val_fraction = val_size / (1.0 - test_size)      # 02:446
+        rel_train, rel_val = iterative_train_test_split(
+            labels[train_val], val_fraction, seed)
+        return {"train": train_val[rel_train], "val": train_val[rel_val],
+                "test": test}
     train_val, test = multilabel_stratified_split(labels, test_size, seed=seed)
     rel_train, rel_val = multilabel_stratified_split(labels[train_val],
                                                      val_size, seed=seed)

@@ -4,12 +4,26 @@ readmission label."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fairmultimodal_tpu.models.legacy import (
     BEHRTSequence,
     EDDIDotFusion,
     EDDIEnhancementLayer,
 )
+
+
+@pytest.fixture(scope="module")
+def tiny_text():
+    from fairmultimodal_tpu.models.bert import BertConfig
+    from fairmultimodal_tpu.models.text import TextEncoder
+
+    return TextEncoder.from_pretrained(
+        "offline/none",
+        fallback_config=BertConfig(vocab_size=256, hidden_size=32,
+                                   num_hidden_layers=1, num_attention_heads=2,
+                                   intermediate_size=64,
+                                   max_position_embeddings=64))
 
 
 def test_behrt_sequence_shapes_and_masking():
@@ -72,3 +86,68 @@ def test_readmission_label_in_etl(tmp_path):
     s = pd.read_csv(out / "final_structured_common.csv")
     assert "readmission_within_30d" in s.columns
     assert set(s["readmission_within_30d"].unique()) <= {0, 1}
+
+
+@pytest.mark.slow
+def test_legacy_behrt_pipeline_e2e():
+    """Sequence BEHRT runs end-to-end on synthetic multi-admission data and
+    beats chance on at least one task (New/02_BEHRT.py experiment)."""
+    from fairmultimodal_tpu.data.synthetic import make_admission_frame
+    from fairmultimodal_tpu.pipelines import (
+        LegacyBEHRTPipelineConfig,
+        run_legacy_behrt_experiment,
+    )
+    from fairmultimodal_tpu.train.simple import SimpleTrainConfig
+
+    frame = make_admission_frame(n_subjects=120, max_admissions=4, seed=1)
+    cfg = LegacyBEHRTPipelineConfig(
+        train=SimpleTrainConfig(lr=1e-3, num_epochs=6, batch_size=32,
+                                loss="bce", optimizer="adamw",
+                                weight_decay=0.01, patience=10,
+                                rng_impl="threefry"),
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2)
+    out = run_legacy_behrt_experiment(frame, cfg, verbose=False)
+    assert set(out["metrics"]) == {"mortality", "los_binary",
+                                   "mechanical_ventilation"} or len(out["metrics"]) == 3
+    aurocs = [m["aucroc"] for m in out["metrics"].values()]
+    assert all(np.isfinite(aurocs))
+    assert max(aurocs) > 0.55, aurocs
+    # Reference-compat mode: train == eval == full cohort (02_BEHRT.py:173).
+    cfg.reference_compat = True
+    cfg.train.num_epochs = 1
+    out2 = run_legacy_behrt_experiment(frame, cfg, verbose=False)
+    n_subjects = len(np.unique(frame["subject_id"]))
+    assert len(out2["splits"]["test"]) <= n_subjects
+    assert len(out2["splits"]["train"]) == len(out2["splits"]["test"])
+
+
+@pytest.mark.slow
+def test_legacy_eddi_pipeline_e2e(tiny_text):
+    """EDDI-dot fusion trains on the 2-task legacy era (mortality +
+    readmission) end-to-end (Code/EDDI.py experiment)."""
+    from fairmultimodal_tpu.data.synthetic import make_common_frames
+    from fairmultimodal_tpu.pipelines import (
+        LegacyEDDIPipelineConfig,
+        run_legacy_eddi_experiment,
+    )
+    from fairmultimodal_tpu.train.simple import SimpleTrainConfig
+
+    s, u = make_common_frames(n_patients=120, n_lab_features=10, seed=4)
+    assert "readmission_within_30d" in s.columns
+    cfg = LegacyEDDIPipelineConfig(
+        train=SimpleTrainConfig(lr=1e-3, num_epochs=3, batch_size=32,
+                                loss="focal", gamma=2.0, optimizer="adam",
+                                patience=10, rng_impl="threefry"),
+        text_max_length=32, text_batch_size=16, hidden_size=32,
+        demo_layers=1, demo_heads=2, lab_layers=1, lab_heads=2)
+    out = run_legacy_eddi_experiment(s, u, cfg, text_encoder=tiny_text,
+                                     verbose=False)
+    assert set(out["metrics"]) == {"mortality", "readmission"}
+    for m in out["metrics"].values():
+        assert np.isfinite(m["aucroc"])
+    # The readmission label must NOT appear among the lab features (leak
+    # guard via EXCLUDE_COLS).
+    from fairmultimodal_tpu.data.featurize import assemble_features
+
+    bundle = assemble_features(s, u)
+    assert not any("readmission" in c for c in bundle.lab_columns)
