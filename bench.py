@@ -91,11 +91,34 @@ def main():
     pps = BATCH * iters / dt
     n_chips = jax.device_count()
     pps_chip = pps / n_chips
+
+    # Estimated MFU so progress is tracked against physics, not only the
+    # estimated-A100 ratio.  FLOPs per step from the compiled HLO when the
+    # backend exposes a cost analysis; analytic fallback otherwise
+    # (42.5 GFLOP/patient, derivation in the module docstring).
+    try:
+        cost = trainer._train_step.lower(
+            params, opt_state, batch, dyn_w, step_rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost["flops"])
+    except Exception:
+        flops_per_step = 42.5e9 * BATCH
+    # Peak dense bf16 throughput of the chip actually benched.
+    peak = {"v5e": 197e12, "v5litepod": 197e12, "v5p": 459e12,
+            "v4": 275e12, "v6e": 918e12}
+    kind = jax.devices()[0].device_kind.lower().replace(" ", "")
+    peak_flops = next((v for k, v in peak.items() if k in kind), 197e12)
+    mfu = (flops_per_step * iters / dt) / (n_chips * peak_flops)
+
     print(json.dumps({
         "metric": "fame_fusion_train_patients_per_sec_per_chip",
         "value": round(pps_chip, 2),
         "unit": "patients/sec/chip",
         "vs_baseline": round(pps_chip / A100_BASELINE_PATIENTS_PER_SEC, 3),
+        "mfu": round(mfu, 4),
+        "flops_per_step": flops_per_step,
+        "device_kind": jax.devices()[0].device_kind,
     }))
 
 

@@ -17,15 +17,43 @@ less than rounding to 128 and measured +12% train throughput.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from fairmultimodal_tpu.models.bert import BertConfig, BertEncoderModel
 from fairmultimodal_tpu.ops.attention import multi_head_attention
+from fairmultimodal_tpu.ops.fused_attention_block import (
+    can_use_fused_attention_block,
+    fused_attention_block,
+)
+from fairmultimodal_tpu.ops.fused_ffn import can_use_fused_ffn, fused_ffn
 
 __all__ = ["BEHRTDemo", "BEHRTLab", "BEHRTCombined", "TorchEncoderLayer"]
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense``.
+
+    Declares ``kernel``/``bias`` with nn.Dense's exact initializers, shapes,
+    and param names so the param tree (and the per-param init RNG folding,
+    which depends only on the module path + param name) is bit-identical to a
+    real ``nn.Dense`` — checkpoints are interchangeable between the XLA and
+    Pallas FFN paths.
+    """
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
 
 
 class TorchEncoderLayer(nn.Module):
@@ -46,6 +74,15 @@ class TorchEncoderLayer(nn.Module):
     # (1582 vs 1692 patients/sec — the 5-D split transpose outweighs the
     # GEMM merge), so separate projections stay the default.
     fused_qkv: bool = False
+    # Pallas fused-FFN kernel (ops/fused_ffn.py): None = auto (TPU +
+    # tile-aligned dims), True/False forces it (tests/A-B). The fused path
+    # draws its in-FFN dropout from the on-core hardware RBG instead of
+    # nn.Dropout — same distribution, different stream (see PARITY.md).
+    ffn_kernel: Optional[bool] = None
+    # Pallas attention megakernel (ops/fused_attention_block.py): folds the
+    # qkv projections, the head-split/merge transposes, softmax attention,
+    # and the output projection into one fwd + one bwd kernel.  None = auto.
+    attn_kernel: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -53,26 +90,62 @@ class TorchEncoderLayer(nn.Module):
         d = h // nh
         b, s, _ = x.shape
 
-        if self.fused_qkv:
-            qkv = nn.Dense(3 * h, dtype=self.dtype, name="qkv")(x)
-            qkv = qkv.reshape(b, s, 3, nh, d).transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv[0], qkv[1], qkv[2]
+        use_mega = self.attn_kernel
+        if use_mega is None:
+            use_mega = (not self.fused_qkv
+                        and can_use_fused_attention_block(x, nh))
+        if use_mega:
+            wq, bq = _DenseParams(h, h, name="query")()
+            wk, bk = _DenseParams(h, h, name="key")()
+            wv, bv = _DenseParams(h, h, name="value")()
+            wo, bo = _DenseParams(h, h, name="attn_out")()
+            c = lambda a: a.astype(self.dtype)
+            attn = fused_attention_block(
+                x.astype(self.dtype), c(wq), c(bq), c(wk), c(bk), c(wv),
+                c(bv), c(wo), c(bo), mask, nh,
+                jax.default_backend() != "tpu")
         else:
-            def heads(name):
-                y = nn.Dense(h, dtype=self.dtype, name=name)(x)
-                return y.reshape(b, s, nh, d).transpose(0, 2, 1, 3)
+            if self.fused_qkv:
+                qkv = nn.Dense(3 * h, dtype=self.dtype, name="qkv")(x)
+                qkv = qkv.reshape(b, s, 3, nh, d).transpose(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+            else:
+                def heads(name):
+                    y = nn.Dense(h, dtype=self.dtype, name=name)(x)
+                    return y.reshape(b, s, nh, d).transpose(0, 2, 1, 3)
 
-            q, k, v = heads("query"), heads("key"), heads("value")
-        attn = multi_head_attention(q, k, v, mask)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
-        attn = nn.Dense(h, dtype=self.dtype, name="attn_out")(attn)
+                q, k, v = heads("query"), heads("key"), heads("value")
+            attn = multi_head_attention(q, k, v, mask)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
+            attn = nn.Dense(h, dtype=self.dtype, name="attn_out")(attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
 
-        y = nn.Dense(self.ffn_size, dtype=self.dtype, name="ffn_in")(x)
-        y = nn.relu(y)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = nn.Dense(h, dtype=self.dtype, name="ffn_out")(y)
+        use_fused = self.ffn_kernel
+        if use_fused is None:
+            use_fused = can_use_fused_ffn(x, h, self.ffn_size)
+        if use_fused:
+            w1, b1 = _DenseParams(h, self.ffn_size, name="ffn_in")()
+            w2, b2 = _DenseParams(self.ffn_size, h, name="ffn_out")()
+            if not deterministic and self.dropout > 0:
+                key = self.make_rng("dropout")
+                seed = jax.random.randint(key, (1,), 0,
+                                          np.iinfo(np.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            y = fused_ffn(
+                x.reshape(b * s, h).astype(self.dtype),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                seed, self.dropout, deterministic,
+                jax.default_backend() != "tpu",
+            ).reshape(b, s, h)
+        else:
+            y = nn.Dense(self.ffn_size, dtype=self.dtype, name="ffn_in")(x)
+            y = nn.relu(y)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            y = nn.Dense(h, dtype=self.dtype, name="ffn_out")(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
 

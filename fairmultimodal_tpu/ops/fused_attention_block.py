@@ -1,0 +1,482 @@
+"""Pallas TPU attention megakernel: QKV projections + MHA + output projection.
+
+Folds the ENTIRE pre-norm body of a transformer attention block —
+
+    q = x @ Wq + bq;  k = x @ Wk + bk;  v = x @ Wv + bv      (per head)
+    P = softmax(q k^T / sqrt(d) + mask_bias)
+    attn = concat_h(P v) @ Wo + bo
+
+— into one forward kernel and one backward kernel, replacing the reference's
+``nn.MultiheadAttention`` inside ``nn.TransformerEncoderLayer``
+(10_FAME.py:214).  This supersedes ``ops/flash_attention.py`` (which fuses
+only the softmax(QK^T)V core) on the lab-encoder hot path.
+
+Why: the unfused path spends more HBM bandwidth on layout than on math — 3
+projection matmuls + 4 ``[B,S,H] <-> [B,heads,S,d]`` head-split transposes +
+the attention kernel + the merge transpose + the output matmul each
+round-trip a ~220 MB activation.  Here the only HBM traffic is: read x, read
+the (tiny) weights, write attn-out, write the q/k/v/o residuals — everything
+else lives in VMEM (measured 128 MB on v5e; this kernel's worst-case working
+set is ~29 MB).
+
+Key design points:
+
+- **Grid is (batch, heads), head innermost.** ``x[b]`` and the mask row stay
+  resident across the inner head loop; per-(b,h) work is three [S,d]
+  projections, the [S,S] softmax, and two more MXU passes.
+- **Head dim padded to the 128 lane tile** (d=96 -> dp=128 for the reference
+  768/8 lab geometry).  A 96-deep MXU pass costs a full 128-lane tile anyway,
+  so the zero-padding changes no wall-clock term while making every slice,
+  DMA, and matmul tile-aligned.  Padding lives only in the packed weight
+  layout (``_pack_*``) and the q/k/v/o residuals; outputs are exact.
+- **Per-head weight slices are taken in-kernel** from VMEM-resident packed
+  weights at 128-aligned lane offsets (``pl.ds(h*dp, dp)``) — per-head
+  BlockSpecs would re-DMA the weight stripes on every grid step (the index
+  cycles), costing ~1.6 GB/layer at the bench geometry.
+- **Forward accumulates** ``sum_h (P_h v_h) @ Wo[h]`` in an fp32 VMEM scratch
+  and writes the [S, H] output once per batch row; q/k/v/o are stored as
+  ``[B, S, heads*dp]`` column stripes (lane-aligned writes, and the backward
+  and any XLA consumer can reshape them to ``[B*S, heads*dp]`` for free).
+- **Backward is ONE kernel** over the same (batch, heads) grid: recomputes P
+  from the stored q/k stripes (cheaper than storing [B,heads,S,S]), runs the
+  softmax VJP, accumulates dx across heads in an fp32 scratch (written once
+  per b), and accumulates dWq/dWk/dWv/dWo/db* in fp32 VMEM scratches across
+  the WHOLE grid.  The weight-grad output blocks use a select-based index map
+  — ``(0, h)`` on the final batch step, parked at ``(0, 0)`` otherwise — so
+  each accumulator is flushed to HBM exactly once.
+
+Numerical contract: matmul operands in the input dtype (full-rate bf16 MXU),
+all accumulation + softmax in fp32, weight grads accumulated in fp32 and cast
+on return.  The attention-probability dropout of torch's MultiheadAttention
+is not applied, matching the existing ``multi_head_attention`` path (see
+PARITY.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_attention_block", "can_use_fused_attention_block"]
+
+NEG_INF = -1e9
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# -- packed weight layouts ---------------------------------------------------------
+#
+# Input projections W [H, H] are viewed as [H, heads, d], zero-padded to
+# [H, heads, dp], and flattened to [H, heads*dp]; biases [H] -> [1, heads*dp].
+# The output projection W_o [H, H] is viewed as [heads, d, H], padded to
+# [heads, dp, H], and flattened to [heads*dp, H] (pad rows are zero, so the
+# zero pad columns of o contribute nothing).
+
+
+def _pack_in(w: jax.Array, nh: int, d: int, dp: int) -> jax.Array:
+    h = w.shape[0]
+    w = w.reshape(h, nh, d)
+    if dp != d:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, dp - d)))
+    return w.reshape(h, nh * dp)
+
+
+def _pack_bias(b: jax.Array, nh: int, d: int, dp: int) -> jax.Array:
+    b = b.reshape(nh, d)
+    if dp != d:
+        b = jnp.pad(b, ((0, 0), (0, dp - d)))
+    return b.reshape(1, nh * dp)
+
+
+def _pack_out(w: jax.Array, nh: int, d: int, dp: int) -> jax.Array:
+    h = w.shape[1]
+    w = w.reshape(nh, d, h)
+    if dp != d:
+        w = jnp.pad(w, ((0, 0), (0, dp - d), (0, 0)))
+    return w.reshape(nh * dp, h)
+
+
+def _unpack_in(w: jax.Array, nh: int, d: int, dp: int) -> jax.Array:
+    h = w.shape[0]
+    return w.reshape(h, nh, dp)[:, :, :d].reshape(h, nh * d)
+
+
+def _unpack_bias(b: jax.Array, nh: int, d: int, dp: int) -> jax.Array:
+    return b.reshape(nh, dp)[:, :d].reshape(nh * d)
+
+
+def _unpack_out(w: jax.Array, nh: int, d: int, dp: int) -> jax.Array:
+    h = w.shape[1]
+    return w.reshape(nh, dp, h)[:, :d].reshape(nh * d, h)
+
+
+# -- forward -----------------------------------------------------------------------
+
+
+def _mega_fwd_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                     wo_ref, bo_ref, mask_ref,
+                     out_ref, q_ref, k_ref, v_ref, o_ref,
+                     acc_ref, *, scale: float, dp: int):
+    hh = pl.program_id(1)
+    nh = pl.num_programs(1)
+    x = x_ref[0]                                        # [S, H]
+    col = pl.ds(hh * dp, dp)
+
+    def proj(w_ref, b_ref):
+        y = jnp.dot(x, w_ref[:, col], preferred_element_type=jnp.float32)
+        return (y + b_ref[0, col].astype(jnp.float32)[None, :]).astype(x.dtype)
+
+    q = proj(wq_ref, bq_ref)                            # [S, dp]
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+    q_ref[0, :, :] = q
+    k_ref[0, :, :] = k
+    v_ref[0, :, :] = v
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    # Whole [B, S] mask resident; a (1, S) block would violate the (8, 128)
+    # tiling rule — slice this batch row dynamically (as flash_attention does).
+    row = mask_ref[pl.ds(pl.program_id(0), 1), :]       # [1, S]
+    s = s + jnp.where(row > 0, 0.0, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(x.dtype)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    o_ref[0, :, :] = o
+
+    contrib = jnp.dot(o, wo_ref[pl.ds(hh * dp, dp), :],
+                      preferred_element_type=jnp.float32)  # [S, H]
+
+    @pl.when(hh == 0)
+    def _():
+        acc_ref[:] = contrib + bo_ref[:].astype(jnp.float32)
+
+    @pl.when(hh > 0)
+    def _():
+        acc_ref[:] += contrib
+
+    @pl.when(hh == nh - 1)
+    def _():
+        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _fwd_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, mask, *, num_heads: int,
+              interpret: bool):
+    b, s, h = x.shape
+    d = h // num_heads
+    dp = _round_up(d, 128)
+    scale = 1.0 / (d ** 0.5)
+    if mask is None:
+        mask = jnp.ones((b, s), jnp.int32)
+    packed = (_pack_in(wq, num_heads, d, dp), _pack_bias(bq, num_heads, d, dp),
+              _pack_in(wk, num_heads, d, dp), _pack_bias(bk, num_heads, d, dp),
+              _pack_in(wv, num_heads, d, dp), _pack_bias(bv, num_heads, d, dp),
+              _pack_out(wo, num_heads, d, dp), bo.reshape(1, h))
+    stripes = num_heads * dp
+
+    xspec = pl.BlockSpec((1, s, h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    stripe = pl.BlockSpec((1, s, dp), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    qshape = jax.ShapeDtypeStruct((b, s, stripes), x.dtype)
+
+    out, q, k, v, o = pl.pallas_call(
+        functools.partial(_mega_fwd_kernel, scale=scale, dp=dp),
+        grid=(b, num_heads),
+        in_specs=[
+            xspec,
+            const2((h, stripes)), const2((1, stripes)),
+            const2((h, stripes)), const2((1, stripes)),
+            const2((h, stripes)), const2((1, stripes)),
+            const2((stripes, h)), const2((1, h)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # whole [B, S] mask
+        ],
+        out_specs=(xspec, stripe, stripe, stripe, stripe),
+        out_shape=(jax.ShapeDtypeStruct((b, s, h), x.dtype),
+                   qshape, qshape, qshape, qshape),
+        scratch_shapes=[pltpu.VMEM((s, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (8 * s * h * h + 4 * s * s * h),
+            bytes_accessed=(b * s * h * 2 + 4 * b * s * stripes)
+            * x.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(x, *packed, mask)
+    return out, q, k, v, o
+
+
+# -- backward ----------------------------------------------------------------------
+
+
+def _mega_bwd_kernel(g_ref, x_ref, q_ref, k_ref, v_ref, o_ref,
+                     wq_ref, wk_ref, wv_ref, wo_ref, mask_ref,
+                     dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                     dwv_ref, dbv_ref, dwo_ref, dbo_ref,
+                     dx_acc, dwq_acc, dwk_acc, dwv_acc, dwo_acc,
+                     *, scale: float, dp: int):
+    bi = pl.program_id(0)
+    nb = pl.num_programs(0)
+    hh = pl.program_id(1)
+    nh = pl.num_programs(1)
+    g = g_ref[0]                                        # [S, H]
+    x = x_ref[0]
+    q = q_ref[0]                                        # [S, dp]
+    k = k_ref[0]
+    v = v_ref[0]
+    o = o_ref[0]
+    col = pl.ds(hh * dp, dp)
+
+    # do_h = g @ Wo[h]^T ; dWo[h] += o^T @ g
+    do = jax.lax.dot_general(g, wo_ref[col, :], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(g.dtype)
+    dwo_c = jax.lax.dot_general(o, g, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [dp, H]
+
+    # Recompute P (fp32, identical ops to forward).
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    row = mask_ref[pl.ds(bi, 1), :]                     # whole-mask slice
+    s = s + jnp.where(row > 0, 0.0, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # [S, S] fp32
+    p_b = p.astype(g.dtype)
+
+    # Softmax VJP.
+    dv = jax.lax.dot_general(p_b, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)      # [S, dp]
+    dpm = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)     # [S, S]
+    ds = p * (dpm - jnp.sum(dpm * p, axis=-1, keepdims=True))
+    ds_b = (ds * scale).astype(g.dtype)
+    dq = jnp.dot(ds_b, k, preferred_element_type=jnp.float32)         # [S, dp]
+    dk = jax.lax.dot_general(ds_b, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_b = dq.astype(g.dtype)
+    dk_b = dk.astype(g.dtype)
+    dv_b = dv.astype(g.dtype)
+
+    # dx accumulation across heads (projection VJPs).
+    dx_c = (jnp.dot(dq_b, wq_ref[:, col].T, preferred_element_type=jnp.float32)
+            + jnp.dot(dk_b, wk_ref[:, col].T, preferred_element_type=jnp.float32)
+            + jnp.dot(dv_b, wv_ref[:, col].T, preferred_element_type=jnp.float32))
+
+    @pl.when(hh == 0)
+    def _():
+        dx_acc[:] = dx_c
+
+    @pl.when(hh > 0)
+    def _():
+        dx_acc[:] += dx_c
+
+    @pl.when(hh == nh - 1)
+    def _():
+        dx_ref[0] = dx_acc[:].astype(dx_ref.dtype)
+
+    # Weight/bias grad accumulation across the whole grid (scratch persists).
+    dwq_c = jax.lax.dot_general(x, dq_b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)   # [H, dp]
+    dwk_c = jax.lax.dot_general(x, dk_b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dwv_c = jax.lax.dot_general(x, dv_b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    # Bias grads accumulate straight into their output refs: the blocks are
+    # whole-array with constant index maps, so they stay VMEM-resident for
+    # the entire grid and flush to HBM exactly once at grid end.
+    row_h = pl.ds(hh, 1)
+
+    @pl.when(bi == 0)
+    def _():
+        dwq_acc[hh] = dwq_c
+        dwk_acc[hh] = dwk_c
+        dwv_acc[hh] = dwv_c
+        dwo_acc[hh] = dwo_c
+        dbq_ref[row_h, :] = jnp.sum(dq, axis=0, keepdims=True)
+        dbk_ref[row_h, :] = jnp.sum(dk, axis=0, keepdims=True)
+        dbv_ref[row_h, :] = jnp.sum(dv, axis=0, keepdims=True)
+
+    @pl.when(bi > 0)
+    def _():
+        dwq_acc[hh] += dwq_c
+        dwk_acc[hh] += dwk_c
+        dwv_acc[hh] += dwv_c
+        dwo_acc[hh] += dwo_c
+        dbq_ref[row_h, :] += jnp.sum(dq, axis=0, keepdims=True)
+        dbk_ref[row_h, :] += jnp.sum(dk, axis=0, keepdims=True)
+        dbv_ref[row_h, :] += jnp.sum(dv, axis=0, keepdims=True)
+
+    @pl.when((bi == 0) & (hh == 0))
+    def _():
+        dbo_ref[:] = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when((bi > 0) & (hh == 0))
+    def _():
+        dbo_ref[:] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    # Weight-grad accumulators flush once, on the final batch step (their
+    # output index maps park at block 0 until bi == nb - 1).
+    @pl.when(bi == nb - 1)
+    def _():
+        dwq_ref[:] = dwq_acc[hh]
+        dwk_ref[:] = dwk_acc[hh]
+        dwv_ref[:] = dwv_acc[hh]
+        dwo_ref[:] = dwo_acc[hh]
+
+
+def _bwd_impl(g, x, q, k, v, o, packed, mask, *, num_heads: int, dp: int,
+              scale: float, interpret: bool):
+    b, s, h = x.shape
+    stripes = num_heads * dp
+    wq, wk, wv, wo = packed
+
+    xspec = pl.BlockSpec((1, s, h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    stripe = pl.BlockSpec((1, s, dp), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0),
+                                        memory_space=pltpu.VMEM)
+
+    nb = b
+    # Park weight-grad blocks at head 0 until the final batch step: each
+    # accumulator then flushes exactly once (see module docstring).
+    final = lambda i, j: jnp.where(i == nb - 1, j, 0)
+    win = pl.BlockSpec((h, dp), lambda i, j: (0, final(i, j)),
+                       memory_space=pltpu.VMEM)
+    bin_ = const2((num_heads, dp))
+    wout = pl.BlockSpec((dp, h), lambda i, j: (final(i, j), 0),
+                        memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo = pl.pallas_call(
+        functools.partial(_mega_bwd_kernel, scale=scale, dp=dp),
+        grid=(b, num_heads),
+        in_specs=[
+            xspec, xspec, stripe, stripe, stripe, stripe,
+            const2((h, stripes)), const2((h, stripes)), const2((h, stripes)),
+            const2((stripes, h)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # whole [B, S] mask
+        ],
+        out_specs=(xspec, win, bin_, win, bin_, win, bin_, wout,
+                   const2((1, h))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, h), g.dtype),
+            jax.ShapeDtypeStruct((h, stripes), f32),
+            jax.ShapeDtypeStruct((num_heads, dp), f32),
+            jax.ShapeDtypeStruct((h, stripes), f32),
+            jax.ShapeDtypeStruct((num_heads, dp), f32),
+            jax.ShapeDtypeStruct((h, stripes), f32),
+            jax.ShapeDtypeStruct((num_heads, dp), f32),
+            jax.ShapeDtypeStruct((stripes, h), f32),
+            jax.ShapeDtypeStruct((1, h), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s, h), f32),                    # dx acc
+            pltpu.VMEM((num_heads, h, dp), f32),        # dWq
+            pltpu.VMEM((num_heads, h, dp), f32),        # dWk
+            pltpu.VMEM((num_heads, h, dp), f32),        # dWv
+            pltpu.VMEM((num_heads, dp, h), f32),        # dWo
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (16 * s * h * h + 8 * s * s * h),
+            bytes_accessed=(3 * b * s * h + 4 * b * s * stripes)
+            * g.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(g, x, q, k, v, o, wq, wk, wv, wo, mask)
+    return dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo
+
+
+# -- custom-vjp wiring --------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_attention_block(x, wq, bq, wk, bk, wv, bv, wo, bo,
+                          mask: Optional[jax.Array] = None,
+                          num_heads: int = 8, interpret: bool = False):
+    """Full attention block: projections + softmax attention + out-projection.
+
+    Args:
+      x: [B, S, H] activations.
+      wq/bq/wk/bk/wv/bv: input-projection weights, [H, H] / [H] each, laid out
+        as ``nn.Dense`` kernels (head h occupies columns [h*d, (h+1)*d)).
+      wo/bo: output projection [H, H] / [H].
+      mask: optional [B, S] key mask (1 = attend), encoder-style.
+      num_heads: static head count (H % num_heads == 0).
+      interpret: run in the Pallas interpreter (CPU tests).
+
+    Returns [B, S, H] in ``x.dtype``.
+    """
+    out, _, _, _, _ = _fwd_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, mask,
+                                num_heads=num_heads, interpret=interpret)
+    return out
+
+
+def _vjp_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, mask, num_heads, interpret):
+    out, q, k, v, o = _fwd_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, mask,
+                                num_heads=num_heads, interpret=interpret)
+    b, s, h = x.shape
+    d = h // num_heads
+    dp = _round_up(d, 128)
+    packed = (_pack_in(wq, num_heads, d, dp), _pack_in(wk, num_heads, d, dp),
+              _pack_in(wv, num_heads, d, dp), _pack_out(wo, num_heads, d, dp))
+    if mask is None:
+        mask = jnp.ones((b, s), jnp.int32)
+    return out, (x, q, k, v, o, packed, mask)
+
+
+def _vjp_bwd(num_heads, interpret, residuals, g):
+    x, q, k, v, o, packed, mask = residuals
+    b, s, h = x.shape
+    d = h // num_heads
+    dp = _round_up(d, 128)
+    scale = 1.0 / (d ** 0.5)
+    dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo = _bwd_impl(
+        g, x, q, k, v, o, packed, mask, num_heads=num_heads, dp=dp,
+        scale=scale, interpret=interpret)
+
+    def uin(w, ref):
+        return _unpack_in(w, num_heads, d, dp).reshape(h, h).astype(ref.dtype)
+
+    def ub(bb, ref):
+        return _unpack_bias(bb.reshape(1, num_heads * dp), num_heads, d,
+                            dp).astype(ref.dtype)
+
+    return (dx, uin(dwq, x), ub(dbq, x), uin(dwk, x), ub(dbk, x),
+            uin(dwv, x), ub(dbv, x),
+            _unpack_out(dwo, num_heads, d, dp).astype(x.dtype),
+            dbo.reshape(h).astype(x.dtype), None)
+
+
+fused_attention_block.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def can_use_fused_attention_block(x: jax.Array, num_heads: int) -> bool:
+    """Gate: TPU backend, whole-S VMEM residency legal, tile-aligned dims."""
+    if jax.default_backend() != "tpu":
+        return False
+    if x.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    b, s, h = x.shape
+    if h % num_heads != 0 or h % 128 != 0:
+        return False
+    d = h // num_heads
+    # Whole-S scores tile in VMEM (same bound as ops/flash_attention.py) and
+    # sublane-aligned S; head dims above 128 would double the padded stripes.
+    return 256 <= s <= 1024 and s % 16 == 0 and d <= 128

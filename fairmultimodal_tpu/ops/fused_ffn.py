@@ -1,0 +1,302 @@
+"""Fused transformer-FFN Pallas TPU kernels (forward + single-kernel backward).
+
+Replaces the XLA lowering of the torch-style FFN block
+
+    h   = relu(x @ W1 + b1)
+    h_d = dropout(h)                     # train only
+    out = h_d @ W2 + b2
+
+used by ``TorchEncoderLayer`` (the reference's
+``nn.TransformerEncoderLayer(d_model, nhead)`` FFN, 10_FAME.py:214 — ReLU,
+dim_feedforward 2048, dropout 0.1).
+
+Why a kernel: at the FAME bench geometry (rows R = B*S = 256*560, H = 768,
+F = 2048) the [R, F] intermediate is 587 MB in bf16.  XLA cannot fuse through
+two matmuls, so the unfused forward writes it once and reads it once
+(1.17 GB of HBM round-trips), and the unfused backward materializes dh
+([R, F]) again.  Here:
+
+- **Forward** keeps the whole [block, F] intermediate in VMEM: one kernel does
+  matmul1 -> bias -> ReLU -> dropout -> matmul2 -> bias, emitting only ``out``
+  and the post-dropout activation ``h_d`` (the single residual the backward
+  needs).  The dropout mask is generated on-core with ``pltpu.prng_seed`` /
+  ``prng_random_bits`` (hardware RBG) — no mask tensor ever touches HBM.
+- **Backward** is ONE kernel over row blocks producing all five gradients:
+      dh  = (g @ W2^T) * s          s = 1[h_d > 0] / keep_prob
+      dx  = dh @ W1^T               (per-block output)
+      dW1 += x^T @ dh,  db1 += sum(dh)      (fp32 VMEM accumulators)
+      dW2 += h_d^T @ g, db2 += sum(g)
+  The mask needs no RNG replay: ``h_d = relu(h) * mask / keep`` is zero
+  exactly where the ReLU or the mask zeroed it, so ``s = 1[h_d > 0]/keep`` is
+  the complete ReLU+dropout VJP factor.  Accumulating the four weight/bias
+  grads as constant-index output blocks across sequential grid steps keeps
+  them in VMEM for the whole pass (~26 MB of fp32 accumulators + bf16
+  weights — fine on v5e, whose physical VMEM measured 128 MB; the round-1
+  ROADMAP's 16 MB assumption was the Mosaic *default* limit, raised here via
+  ``vmem_limit_bytes``).
+
+HBM traffic per layer at bench geometry: forward 1.03 GB vs ~1.6 GB unfused;
+backward 1.26 GB vs ~3.8 GB — about 3.1 GB saved per layer-pass with zero
+recompute FLOPs.
+
+Numerical contract: all matmuls accumulate in fp32 (``preferred_element_type``)
+with operands in the input dtype (full-rate MXU for bf16); ``h_d`` is stored
+in the input dtype, exactly like XLA's residual; weight grads are accumulated
+in fp32 and cast to the operand dtype on return (>= XLA's precision, which
+accumulates per-row-block in fp32 but round-trips partials through bf16).
+
+Dropout parity: keep-with-prob-(1-rate), scale by 1/(1-rate) — the same
+distribution as ``nn.Dropout``/torch, but a different stream (per-block
+hardware-RBG seeds).  Training draws therefore differ from the ``nn.Dropout``
+path; deterministic/eval outputs are bitwise-independent of the choice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_ffn", "can_use_fused_ffn"]
+
+_VMEM_LIMIT = 100 * 1024 * 1024  # measured physical VMEM on v5e: 128 MB
+
+
+def _pick_block(r: int) -> int:
+    # 512 rows keeps the dW contraction dim (= block) MXU-efficient and the
+    # backward's working set ~48 MB; small inputs drop to the 128-row tile.
+    return 512 if r >= 4096 else 128
+
+
+def _pad_rows(x: jax.Array, rp: int) -> jax.Array:
+    r = x.shape[0]
+    if rp == r:
+        return x
+    return jnp.pad(x, ((0, rp - r), (0, 0)))
+
+
+# -- forward --------------------------------------------------------------------
+
+
+def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, hd_ref, *, keep_threshold: int, inv_keep: float,
+                apply_dropout: bool):
+    x = x_ref[:]                                             # [BR, H]
+    h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)                    # [BR, F] fp32
+    h = jnp.maximum(h, 0.0)
+    if apply_dropout:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
+        keep = bits < jnp.uint32(keep_threshold)
+        h = jnp.where(keep, h * inv_keep, 0.0)
+    hd = h.astype(hd_ref.dtype)
+    hd_ref[:] = hd
+    out = jnp.dot(hd, w2_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = (out + b2_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _fwd_impl(x, w1, b1, w2, b2, seed, *, rate: float, deterministic: bool,
+              interpret: bool) -> Tuple[jax.Array, jax.Array]:
+    r, hdim = x.shape
+    fdim = w1.shape[1]
+    block = _pick_block(r)
+    rp = pl.cdiv(r, block) * block
+    xp = _pad_rows(x, rp)
+    apply_dropout = (not deterministic) and rate > 0.0
+    keep_prob = 1.0 - rate
+    kernel = functools.partial(
+        _fwd_kernel,
+        keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
+        inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
+        apply_dropout=apply_dropout)
+    # index maps receive (grid idx, scalar-prefetch ref) under
+    # PrefetchScalarGridSpec — hence the extra unused argument.
+    row = lambda i, s: (i, 0)
+    const = lambda i, s: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rp // block,),
+        in_specs=[
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, fdim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fdim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fdim, hdim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, fdim), row, memory_space=pltpu.VMEM),
+        ),
+    )
+    out, hd = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((rp, hdim), x.dtype),
+                   jax.ShapeDtypeStruct((rp, fdim), x.dtype)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rp * hdim * fdim,
+            bytes_accessed=(rp * hdim * 2 + rp * fdim + 2 * hdim * fdim)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seed, xp, w1, b1.reshape(1, fdim), w2, b2.reshape(1, hdim))
+    # hd stays padded (it is only a backward residual); out is user-visible.
+    return out[:r] if rp != r else out, hd
+
+
+# -- backward (single kernel: dx + dW1 + db1 + dW2 + db2) ------------------------
+
+
+def _bwd_kernel(x_ref, g_ref, hd_ref, w1_ref, w2_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, inv_keep: float):
+    i = pl.program_id(0)
+    g = g_ref[:]                                             # [BR, H]
+    hd = hd_ref[:]                                           # [BR, F]
+    # dh = (g @ W2^T) * s, with s the combined ReLU+dropout VJP factor
+    # recovered from the stored post-dropout activation (see module doc).
+    dh = jax.lax.dot_general(g, w2_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # Compare in fp32: Mosaic has no bf16 vector cmpf on this target.
+    s = (hd.astype(jnp.float32) > 0).astype(jnp.float32) * inv_keep
+    dh = dh * s
+    dh_b = dh.astype(g.dtype)
+    dx = jax.lax.dot_general(dh_b, w1_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    dw1_c = jax.lax.dot_general(x_ref[:], dh_b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [H, F]
+    dw2_c = jax.lax.dot_general(hd, g, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [F, H]
+    db1_c = jnp.sum(dh, axis=0, keepdims=True)                       # [1, F]
+    db2_c = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)    # [1, H]
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:] = dw1_c
+        dw2_ref[:] = dw2_c
+        db1_ref[:] = db1_c
+        db2_ref[:] = db2_c
+
+    @pl.when(i > 0)
+    def _():
+        dw1_ref[:] += dw1_c
+        dw2_ref[:] += dw2_c
+        db1_ref[:] += db1_c
+        db2_ref[:] += db2_c
+
+
+def _bwd_impl(xp, w1, w2, hd, g, *, rate: float, deterministic: bool,
+              interpret: bool):
+    rp, hdim = xp.shape
+    fdim = w1.shape[1]
+    block = _pick_block(rp)
+    assert rp % block == 0, (rp, block)  # xp/hd were padded by the forward
+    apply_dropout = (not deterministic) and rate > 0.0
+    kernel = functools.partial(
+        _bwd_kernel, inv_keep=1.0 / (1.0 - rate) if apply_dropout else 1.0)
+    row = lambda i: (i, 0)
+    const = lambda i: (0, 0)
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        kernel,
+        grid=(rp // block,),
+        in_specs=[
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),   # g
+            pl.BlockSpec((block, fdim), row, memory_space=pltpu.VMEM),   # h_d
+            pl.BlockSpec((hdim, fdim), const, memory_space=pltpu.VMEM),  # W1
+            pl.BlockSpec((fdim, hdim), const, memory_space=pltpu.VMEM),  # W2
+        ],
+        out_specs=(
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),   # dx
+            pl.BlockSpec((hdim, fdim), const, memory_space=pltpu.VMEM),  # dW1
+            pl.BlockSpec((1, fdim), const, memory_space=pltpu.VMEM),     # db1
+            pl.BlockSpec((fdim, hdim), const, memory_space=pltpu.VMEM),  # dW2
+            pl.BlockSpec((1, hdim), const, memory_space=pltpu.VMEM),     # db2
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, hdim), g.dtype),
+            jax.ShapeDtypeStruct((hdim, fdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, fdim), jnp.float32),
+            jax.ShapeDtypeStruct((fdim, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, hdim), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rp * hdim * fdim,
+            bytes_accessed=(3 * rp * hdim + rp * fdim) * g.dtype.itemsize
+            + 2 * hdim * fdim * (g.dtype.itemsize + 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, g, hd, w1, w2)
+    return dx, dw1, db1, dw2, db2
+
+
+# -- custom-vjp wiring ------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_ffn(x, w1, b1, w2, b2, seed, rate: float = 0.1,
+              deterministic: bool = True, interpret: bool = False):
+    """Fused FFN: ``dropout(relu(x @ w1 + b1)) @ w2 + b2``.
+
+    Args:
+      x: [R, H] activations (bf16 or fp32).
+      w1/b1/w2/b2: FFN weights in the compute dtype ([H, F], [F], [F, H], [H]).
+      seed: [1] int32 dropout seed (ignored when deterministic or rate == 0).
+      rate: dropout probability after the ReLU (static).
+      deterministic: disables dropout (static).
+      interpret: run the kernels in the Pallas interpreter (CPU tests).
+
+    Returns [R, H] in ``x.dtype``.  Differentiable via a single-kernel
+    backward (see module docstring); ``seed`` gets a zero cotangent.
+    """
+    out, _ = _fwd_impl(x, w1, b1, w2, b2, seed, rate=rate,
+                       deterministic=deterministic, interpret=interpret)
+    return out
+
+
+def _vjp_fwd(x, w1, b1, w2, b2, seed, rate, deterministic, interpret):
+    out, hd = _fwd_impl(x, w1, b1, w2, b2, seed, rate=rate,
+                        deterministic=deterministic, interpret=interpret)
+    block = _pick_block(x.shape[0])
+    xp = _pad_rows(x, pl.cdiv(x.shape[0], block) * block)
+    return out, (xp, w1, w2, hd)
+
+
+def _vjp_bwd(rate, deterministic, interpret, residuals, g):
+    xp, w1, w2, hd = residuals
+    r = g.shape[0]
+    gp = _pad_rows(g, xp.shape[0])
+    dx, dw1, db1, dw2, db2 = _bwd_impl(
+        xp, w1, w2, hd, gp, rate=rate, deterministic=deterministic,
+        interpret=interpret)
+    dseed = np.zeros((1,), jax.dtypes.float0)
+    return (dx[:r] if xp.shape[0] != r else dx,
+            dw1.astype(w1.dtype), db1.reshape(-1).astype(w1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(-1).astype(w2.dtype), dseed)
+
+
+fused_ffn.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def can_use_fused_ffn(x: jax.Array, hdim: int, fdim: int) -> bool:
+    """Gate for the Pallas FFN path: TPU backend + tile-aligned dims.
+
+    Lane-dim alignment (128) for H and F keeps every matmul and the [., F]
+    accumulators on natural MXU/VPU tiles; rows are padded internally.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    if x.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    return hdim % 128 == 0 and fdim % 128 == 0

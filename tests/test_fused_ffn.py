@@ -1,0 +1,155 @@
+"""Parity tests for the Pallas fused-FFN kernel (ops/fused_ffn.py).
+
+CPU tests run the kernels in the Pallas interpreter.  The dropout branch
+uses TPU-only PRNG primitives (``pltpu.prng_seed``) with no interpreter
+lowering, so its statistical test is TPU-gated; the backward's ReLU+dropout
+mask math needs no RNG (it is recovered from the stored activation) and IS
+covered here by constructing a zero-patterned activation by hand.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fairmultimodal_tpu.ops.fused_ffn import _bwd_impl, _fwd_impl, fused_ffn
+
+R, H, F = 300, 256, 384  # deliberately non-multiple-of-block rows
+
+
+def _inputs(seed=0, r=R):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.normal(0, 1, (r, H)), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.05, (H, F)), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.05, F), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.05, (F, H)), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.05, H), jnp.float32))
+
+
+def _ref(x, w1, b1, w2, b2):
+    return jnp.maximum(x @ w1 + b1, 0.0) @ w2 + b2
+
+
+def test_forward_parity_deterministic():
+    x, w1, b1, w2, b2 = _inputs()
+    out = fused_ffn(x, w1, b1, w2, b2, jnp.zeros(1, jnp.int32),
+                    0.1, True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, w1, b1, w2, b2)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_all_five_grads_match_autodiff():
+    x, w1, b1, w2, b2 = _inputs(1)
+    seed = jnp.zeros(1, jnp.int32)
+
+    def loss_f(args):
+        return jnp.sum(jnp.sin(fused_ffn(*args, seed, 0.1, True, True)))
+
+    def loss_r(args):
+        return jnp.sum(jnp.sin(_ref(*args)))
+
+    gf = jax.grad(loss_f)((x, w1, b1, w2, b2))
+    gr = jax.grad(loss_r)((x, w1, b1, w2, b2))
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5,
+                                   atol=5e-4, err_msg=name)
+
+
+def test_backward_mask_semantics_with_dropout_pattern():
+    """The backward derives the ReLU+dropout VJP factor from h_d alone.
+
+    Build an h_d with a hand-made zero pattern (as a real dropout forward
+    would produce) and check the kernel's gradients against the analytic
+    formulas dh=(g@W2^T)*1[h_d>0]/keep, dx=dh@W1^T, dW1=x^T dh, dW2=h_d^T g.
+    """
+    rng = np.random.default_rng(2)
+    x, w1, b1, w2, b2 = _inputs(2, r=256)
+    rate = 0.25
+    keep = 1.0 - rate
+    h = np.maximum(np.asarray(x) @ np.asarray(w1) + np.asarray(b1), 0.0)
+    mask = rng.random(h.shape) < keep
+    hd = jnp.asarray(h * mask / keep, jnp.float32)
+    g = jnp.asarray(rng.normal(0, 1, (256, H)), jnp.float32)
+
+    dx, dw1, db1, dw2, db2 = _bwd_impl(x, w1, w2, hd, g, rate=rate,
+                                       deterministic=False, interpret=True)
+    s = (np.asarray(hd) > 0) / keep
+    dh = (np.asarray(g) @ np.asarray(w2).T) * s
+    np.testing.assert_allclose(np.asarray(dx), dh @ np.asarray(w1).T,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(x).T @ dh,
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(db1).ravel(), dh.sum(0),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw2), np.asarray(hd).T @ np.asarray(g),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(db2).ravel(), np.asarray(g).sum(0),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_encoder_layer_paths_identical():
+    """ffn_kernel=True/False: identical param trees, identical deterministic
+    outputs, matching grads — checkpoints are interchangeable."""
+    from fairmultimodal_tpu.models.behrt import TorchEncoderLayer
+
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (2, 32, 256)),
+                    jnp.float32)
+    m_ref = TorchEncoderLayer(256, 4, ffn_size=384, ffn_kernel=False)
+    m_fus = TorchEncoderLayer(256, 4, ffn_size=384, ffn_kernel=True)
+    p1 = m_ref.init(jax.random.PRNGKey(7), x)["params"]
+    p2 = m_fus.init(jax.random.PRNGKey(7), x)["params"]
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: bool((a == b).all()), p1, p2))
+
+    y1 = m_ref.apply({"params": p1}, x)
+    y2 = m_fus.apply({"params": p1}, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5,
+                               atol=2e-5)
+
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m_ref.apply({"params": p}, x))))(p1)
+    g2 = jax.grad(lambda p: jnp.sum(jnp.sin(m_fus.apply({"params": p}, x))))(p1)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5,
+                                   atol=5e-5, err_msg=str(path))
+
+    jax.tree_util.tree_map_with_path(check, g1, g2)
+
+
+def test_row_padding_grads_exact():
+    """Non-block-multiple rows: padded rows must contribute nothing."""
+    x, w1, b1, w2, b2 = _inputs(4, r=130)
+    seed = jnp.zeros(1, jnp.int32)
+
+    def loss_f(args):
+        return jnp.sum(fused_ffn(*args, seed, 0.0, True, True) ** 2)
+
+    def loss_r(args):
+        return jnp.sum(_ref(*args) ** 2)
+
+    gf = jax.grad(loss_f)((x, w1, b1, w2, b2))
+    gr = jax.grad(loss_r)((x, w1, b1, w2, b2))
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5,
+                                   atol=5e-4, err_msg=name)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="dropout branch uses TPU PRNG primitives")
+def test_dropout_statistics_tpu():
+    x, w1, b1, w2, b2 = _inputs(5, r=512)
+    rate = 0.5
+    out, hd = _fwd_impl(x, w1, b1, w2, b2, jnp.asarray([123], jnp.int32),
+                        rate=rate, deterministic=False, interpret=False)
+    h = np.maximum(np.asarray(x) @ np.asarray(w1) + np.asarray(b1), 0.0)
+    hd = np.asarray(hd)
+    alive = h > 1e-6
+    drop_frac = float((hd[alive] == 0).mean())
+    assert abs(drop_frac - rate) < 0.02
+    # Kept entries are scaled by exactly 1/keep.
+    kept = alive & (hd > 0)
+    np.testing.assert_allclose(hd[kept], h[kept] / (1 - rate), rtol=1e-2)
+    # out is exactly hd @ w2 + b2.
+    np.testing.assert_allclose(
+        np.asarray(out), hd[:512] @ np.asarray(w2) + np.asarray(b2),
+        rtol=1e-4, atol=1e-4)
