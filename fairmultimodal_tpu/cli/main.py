@@ -65,6 +65,11 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
                    help="subsample first N patients (02/05 reference behavior)")
     p.add_argument("--synthetic", type=int, default=None, metavar="N",
                    help="use N synthetic patients instead of real CSVs")
+    p.add_argument("--synthetic_labs", type=int, default=32,
+                   help="lab feature columns in the synthetic cohort "
+                        "(549 = reference geometry, 10_FAME NUM_LAB_FEATURES)")
+    p.add_argument("--synthetic_chunks", type=int, default=3,
+                   help="note-chunk columns in the synthetic cohort")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny geometry for CPU smoke runs")
@@ -74,6 +79,9 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
                         "quirk from one switch: the relative-index split "
                         "(10_FAME.py:744-755), 02's .head(1000) subsample "
                         "(02:405), and 09's 70-90 age bucket edge (09:57-67)")
+    p.add_argument("--timing", action="store_true",
+                   help="print a per-phase wall-clock block at the end "
+                        "(fame/fpm)")
     p.add_argument("--require_hf_weights", action="store_true",
                    help="fail instead of random-init fallback when the "
                         "pretrained Bio_ClinicalBERT cannot be loaded "
@@ -96,7 +104,10 @@ def _load_frames(args):
         os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
         from fairmultimodal_tpu.data.synthetic import make_common_frames
 
-        return make_common_frames(n_patients=args.synthetic, seed=args.seed)
+        return make_common_frames(n_patients=args.synthetic,
+                                  n_lab_features=args.synthetic_labs,
+                                  n_note_chunks=args.synthetic_chunks,
+                                  seed=args.seed)
     s = pd.read_csv(os.path.join(args.data_dir, "final_structured_common.csv"))
     u = pd.read_csv(os.path.join(args.data_dir, "final_unstructured_common.csv"))
     return s, u
@@ -245,7 +256,9 @@ def run_pipeline(args) -> int:
             tc.beta = args.beta
         cfg = FAMEPipelineConfig(train=tc, out_dir=args.out_dir, dtype=dtype,
                                  head=args.head or (1000 if name == "fpm" else None),
-                                 reference_compat=args.reference_compat)
+                                 reference_compat=args.reference_compat,
+                                 require_hf_weights=args.require_hf_weights,
+                                 timing=args.timing)
         if args.tiny:
             cfg.hidden_size, cfg.demo_layers, cfg.demo_heads = 64, 1, 2
             cfg.lab_layers, cfg.lab_heads, cfg.fusion_hidden = 1, 2, 32

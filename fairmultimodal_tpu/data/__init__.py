@@ -8,10 +8,12 @@ from fairmultimodal_tpu.data.split import (
     reference_three_way_split,
 )
 from fairmultimodal_tpu.data.featurize import FeatureBundle, assemble_features
+from fairmultimodal_tpu.data.device import DeviceLoader
 from fairmultimodal_tpu.data.loader import BatchIterator, pad_to_multiple
 from fairmultimodal_tpu.data.prefetch import PrefetchLoader, prefetch_to_device
 
 __all__ = [
+    "DeviceLoader",
     "PrefetchLoader",
     "prefetch_to_device",
     "multilabel_stratified_split",

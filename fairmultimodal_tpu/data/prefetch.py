@@ -63,6 +63,10 @@ class PrefetchLoader:
         return len(self.loader)
 
     def __iter__(self):
+        if getattr(self.loader, "device_resident", False):
+            # DeviceLoader batches are already in HBM (gathered on device);
+            # re-putting them would only add tunnel round-trips.
+            return iter(self.loader)
         if self._mesh is not None:
             from fairmultimodal_tpu.parallel import shard_batch
 

@@ -134,10 +134,15 @@ class TextEncoder:
                     f"embeddings will be meaningless on real data — pass "
                     f"require_weights=True (--require_hf_weights) to make "
                     f"this fatal.", stacklevel=2)
+            from fairmultimodal_tpu.utils.rng import threefry_key
+
             config = fallback_config or bio_clinical_bert_config()
             module = BertEncoderModel(config, dtype=dtype)
             dummy = jnp.zeros((1, 8), jnp.int32)
-            params = module.init(jax.random.PRNGKey(seed), dummy,
+            # Typed threefry key: a raw PRNGKey would follow the process-global
+            # prng impl, which the trainers flip to unsafe_rbg (utils/rng.py) —
+            # fallback init must be identical regardless of what ran earlier.
+            params = module.init(threefry_key(seed), dummy,
                                  jnp.ones((1, 8), jnp.int32))["params"]
             tok = HashingTokenizer(config.vocab_size)
             fallback = True
@@ -195,7 +200,20 @@ def encode_note_chunks(
     for i, text in enumerate(flat_texts):
         ids[i], mask[i] = encoder.tokenizer.encode(text, max_length=max_length)
 
+    # Keep a bounded window of encode batches in flight: dispatch is async,
+    # so the device pipeline stays full while the host pulls results a few
+    # batches behind.  A blocking pull per batch costs a tunnel round-trip
+    # each (measured 412 chunks/s sync vs 883 windowed at batch 128 on the
+    # axon v5e); an UNBOUNDED queue degrades with depth on the tunnel
+    # (676 chunks/s at 300 queued) — window 8 is the measured sweet spot.
+    window = 8
     embs = np.zeros((n, hidden), np.float32)
+    pending: List[Tuple[int, int, jax.Array]] = []
+
+    def drain_one():
+        start, stop, cls = pending.pop(0)
+        embs[start:stop] = np.asarray(cls)[: stop - start]
+
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         bs = stop - start
@@ -204,10 +222,14 @@ def encode_note_chunks(
         if bs < batch_size:  # keep one compiled shape
             bi = np.pad(bi, ((0, batch_size - bs), (0, 0)))
             bm = np.pad(bm, ((0, batch_size - bs), (0, 0)))
-        cls = np.asarray(encoder.encode_ids(jnp.asarray(bi), jnp.asarray(bm)))
-        embs[start:stop] = cls[:bs]
+        pending.append(
+            (start, stop, encoder.encode_ids(jnp.asarray(bi), jnp.asarray(bm))))
+        if len(pending) >= window:
+            drain_one()
         if progress is not None:
             progress(stop, n)
+    while pending:
+        drain_one()
 
     owners_arr = np.asarray(owners)
     if aggregation == "mean":

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import datetime
 import os
+import time
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -46,7 +47,13 @@ class FAMEPipelineConfig:
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     text_model: str = "emilyalsentzer/Bio_ClinicalBERT"
     text_max_length: int = 512
-    text_batch_size: int = 32
+    # Chunk-level device batch for the precompute.  128 quarters the number
+    # of dispatches/pulls vs 32 (measured 621 vs 412 chunks/s sync on the
+    # axon v5e).  Chunks are row-independent and pad rows are sliced off,
+    # but XLA may tile the batched matmuls differently per batch size, so
+    # embeddings can differ in the last bits across batch choices (like any
+    # retiling); downstream metrics are insensitive to this.
+    text_batch_size: int = 128
     test_size: float = 0.20
     val_size: float = 0.05
     split_seed: int = 42
@@ -59,7 +66,15 @@ class FAMEPipelineConfig:
     # Make a missing pretrained Bio_ClinicalBERT fatal instead of the loud
     # random-init fallback (real-data runs should set this).
     require_hf_weights: bool = False
+    # Print a per-phase wall-clock block at the end (off by default: the
+    # golden-transcript tests diff stdout line-by-line).  Timings are always
+    # returned in the result dict under "timings".
+    timing: bool = False
     mesh: Optional[object] = None
+    # Park split arrays in device memory and gather batches on device
+    # (data/device.py).  Bit-identical batches to the host path; False
+    # restores the BatchIterator+PrefetchLoader pipeline.
+    device_data: bool = True
     save_artifacts: bool = True
     checkpoint_dir: Optional[str] = None   # enables orbax per-epoch resume
     # Tiny-model overrides for CPU smoke runs (None = reference sizes).
@@ -110,13 +125,27 @@ class _NestingLoader:
 
 
 def make_loaders(arrays: Dict[str, np.ndarray], labels: np.ndarray,
-                 idx: Dict[str, np.ndarray], batch_size: int, seed: int = 42):
+                 idx: Dict[str, np.ndarray], batch_size: int, seed: int = 42,
+                 device_data: bool = True, mesh=None):
+    """Per-split loaders.  ``device_data=True`` parks each split's arrays in
+    device memory once and gathers batches on device (``data.device``) —
+    bit-identical batches to the host ``BatchIterator`` path, but the host
+    sends a [B] index vector per step instead of the full batch (at reference
+    scale this host path was ~2/3 of the measured epoch time)."""
     loaders = {}
     for split, indices in idx.items():
         flat = {k: v[indices] for k, v in arrays.items()}
-        flat["labels"] = labels[indices]
-        loaders[split] = _NestingLoader(BatchIterator(
-            flat, batch_size, shuffle=(split == "train"), seed=seed))
+        split_labels = labels[indices]
+        if device_data:
+            from fairmultimodal_tpu.data.device import DeviceLoader
+
+            loaders[split] = DeviceLoader(
+                flat, split_labels, batch_size,
+                shuffle=(split == "train"), seed=seed, mesh=mesh)
+        else:
+            flat["labels"] = split_labels
+            loaders[split] = _NestingLoader(BatchIterator(
+                flat, batch_size, shuffle=(split == "train"), seed=seed))
     return loaders
 
 
@@ -133,11 +162,21 @@ def run_fame_experiment(
     cfg = config or FAMEPipelineConfig()
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
+    timings: Dict[str, float] = {}
+    _t0 = time.perf_counter()
+
+    def _mark(phase: str):
+        nonlocal _t0
+        now = time.perf_counter()
+        timings[phase] = timings.get(phase, 0.0) + (now - _t0)
+        _t0 = now
+
     if cfg.head:
         structured = structured.head(cfg.head)
         unstructured = unstructured.head(cfg.head)
 
     bundle = assemble_features(structured, unstructured)
+    _mark("featurize")
     if verbose:
         print(f"After filtering, number of rows: {bundle.num_patients}")
         print(f"Number of lab feature columns: {bundle.num_lab_features}")
@@ -152,6 +191,7 @@ def run_fame_experiment(
         batch_size=cfg.text_batch_size)
     if verbose:
         print("Aggregated text embeddings shape:", bundle.text_embeddings.shape)
+    _mark("text_precompute")
 
     # Two-stage multilabel stratified split (10_FAME:733-742).
     train_val_idx, test_idx = multilabel_stratified_split(
@@ -171,7 +211,8 @@ def run_fame_experiment(
     arrays = build_model_arrays(bundle)
     loaders = make_loaders(arrays, bundle.labels,
                            {"train": train_idx, "val": val_idx, "test": test_idx},
-                           cfg.train.batch_size, seed=cfg.train.seed)
+                           cfg.train.batch_size, seed=cfg.train.seed,
+                           device_data=cfg.device_data, mesh=cfg.mesh)
 
     pos_weight = compute_pos_weights(bundle.labels[train_idx])
     n_ages, n_genders, n_eth, n_ins = bundle.vocab_sizes()
@@ -195,6 +236,7 @@ def run_fame_experiment(
         dynamic_weights_csv=os.path.join(cfg.out_dir, "dynamic_weights_per_epoch1.csv")
         if cfg.save_artifacts else None)
 
+    _mark("split_and_loaders")
     example = next(iter(loaders["train"]))
     params = trainer.init_params(example)
     checkpointer = None
@@ -205,6 +247,7 @@ def run_fame_experiment(
     best_params, history = trainer.fit(params, loaders["train"], loaders["val"],
                                        verbose=verbose,
                                        checkpointer=checkpointer)
+    _mark("train")
 
     # Threshold calibration on validation (10_FAME:868).
     _, val_logits, val_labels = trainer.validate(best_params, loaders["val"])
@@ -222,6 +265,7 @@ def run_fame_experiment(
         verbose=verbose)
     eddi = eddi_report(test_out["logits"], test_out["labels"], sensitive,
                        thresholds, verbose=verbose)
+    _mark("calibrate_and_eval")
 
     if verbose:
         print("\n--- Final Evaluation Metrics on Test Set ---")
@@ -269,8 +313,16 @@ def run_fame_experiment(
         artifacts = {"best_model": best_path}
         if verbose:
             print("Saved best model to", best_path)
+    _mark("artifacts")
+
+    timings["total"] = sum(timings.values())
+    if cfg.timing and verbose:
+        print("\n--- Phase wall-clock (s) ---")
+        for phase, secs in timings.items():
+            print(f"  {phase:<20s} {secs:9.2f}")
 
     return {
+        "timings": timings,
         "metrics": metrics,
         "fairness": fairness,
         "eddi": eddi,

@@ -218,7 +218,39 @@ class FAMETrainer:
                 counts = jnp.sum(onehot, axis=0)                    # [G]
                 errors = jnp.einsum("bmt,bg->mtg", err, onehot)     # [M, T, G]
                 stats.append((counts, errors))
-            return stats
+            return tuple(stats)
+
+        def dyn_stats_scan(params, data, labels_, idx_mat, valid_mat, dyn_w):
+            """Whole dynamic-weight pass as ONE dispatch.
+
+            ``lax.scan`` over the epoch's [steps, B] index matrix against the
+            DeviceLoader's parked arrays: gather + modality inference + stat
+            accumulation all stay in the graph, so the host pays a single
+            dispatch and a single O(1) pull per epoch instead of ~steps of
+            each.  Bit-identical to the batchwise path: the statistics are
+            exact small-integer sums in fp32, so accumulation order cannot
+            change them.
+            """
+            def gather_batch(idx, valid):
+                def take(a):
+                    b = jnp.take(a, idx, axis=0)
+                    mask = valid.reshape((-1,) + (1,) * (b.ndim - 1))
+                    return jnp.where(mask, b, jnp.zeros((), b.dtype))
+
+                return {"model_inputs": {k: take(v) for k, v in data.items()},
+                        "labels": take(labels_),
+                        "weight": valid.astype(jnp.float32)}
+
+            def body(carry, iv):
+                idx, valid = iv
+                stats = dyn_stats_step(params, gather_batch(idx, valid), dyn_w)
+                return jax.tree_util.tree_map(jnp.add, carry, stats), None
+
+            init = tuple((jnp.zeros(g, jnp.float32),
+                          jnp.zeros((3, 3, g), jnp.float32))
+                         for g in GROUP_SIZES)
+            carry, _ = jax.lax.scan(body, init, (idx_mat, valid_mat))
+            return carry
 
         def extract_step(params, batch, dyn_w):
             out = self.model.apply({"params": params}, batch["model_inputs"],
@@ -232,6 +264,7 @@ class FAMETrainer:
         self._eval_step = jax.jit(eval_step)
         self._modality_step = jax.jit(modality_probs_step)
         self._dyn_stats_step = jax.jit(dyn_stats_step)
+        self._dyn_stats_scan = jax.jit(dyn_stats_scan)
         self._extract_step = jax.jit(extract_step)
 
     def _rng_data(self) -> np.ndarray:
@@ -276,18 +309,25 @@ class FAMETrainer:
     def train_epoch(self, params, opt_state, loader, log_every: int = 0):
         from fairmultimodal_tpu.data.prefetch import PrefetchLoader
 
-        total_sum = 0.0
-        bce_sum = 0.0
-        nb = 0
+        totals: List[jax.Array] = []
+        bces: List[jax.Array] = []
         dyn_w = jnp.asarray(self.dynamic_weights)
-        # Batch N+1's host->device transfer overlaps step N's compute.
+        # Batch N+1's host->device transfer overlaps step N's compute, and
+        # the per-step loss scalars stay on device until the epoch ends: a
+        # float() per step would block dispatch on every step's completion —
+        # one tunnel round-trip (~33 ms here) x ~100 steps per epoch.
         for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
             rng, self._rng = jax.random.split(self._rng)
             params, opt_state, total, bce = self._train_step(
                 params, opt_state, batch, dyn_w, rng)
-            total_sum += float(total)
-            bce_sum += float(bce)
-            nb += 1
+            totals.append(total)
+            bces.append(bce)
+        nb = len(totals)
+        if nb:
+            sums = jnp.sum(jnp.stack(totals)), jnp.sum(jnp.stack(bces))
+            total_sum, bce_sum = map(float, np.asarray(jnp.stack(sums)))
+        else:
+            total_sum = bce_sum = 0.0
         return params, opt_state, total_sum / max(nb, 1), bce_sum / max(nb, 1)
 
     def validate(self, params, loader) -> Tuple[float, np.ndarray, np.ndarray]:
@@ -347,9 +387,26 @@ class FAMETrainer:
         dyn_w = jnp.asarray(self.dynamic_weights)
         counts_tot = [np.zeros(g, np.float64) for g in GROUP_SIZES]
         errors_tot = [np.zeros((3, 3, g), np.float64) for g in GROUP_SIZES]
-        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
-            stats = self._dyn_stats_step(params, batch, dyn_w)
-            for a, (counts, errors) in enumerate(stats):
+        if (self.mesh is None and hasattr(loader, "epoch_index_matrix")
+                and hasattr(loader, "_data")):
+            # DeviceLoader fast path: the whole pass is one scan dispatch
+            # against the parked arrays (same permutation-protocol epoch
+            # consumption; stats are exact integer sums, so bit-identical).
+            idx_mat, valid_mat = loader.epoch_index_matrix()
+            summed = self._dyn_stats_scan(
+                params, loader._data, loader._labels, jnp.asarray(idx_mat),
+                jnp.asarray(valid_mat), dyn_w)
+        else:
+            # Per-batch stats stay on device; one pull at the end of the pass
+            # (a per-batch np.asarray costs a blocking tunnel round-trip each).
+            per_batch = [self._dyn_stats_step(params, batch, dyn_w)
+                         for batch in PrefetchLoader(loader, size=2,
+                                                     mesh=self.mesh)]
+            summed = jax.tree_util.tree_map(
+                lambda *xs: jnp.sum(jnp.stack(xs), axis=0),
+                *per_batch) if per_batch else None
+        if summed is not None:
+            for a, (counts, errors) in enumerate(summed):
                 counts_tot[a] += np.asarray(counts, np.float64)
                 errors_tot[a] += np.asarray(errors, np.float64)
 
