@@ -76,6 +76,7 @@ class DeviceLoader:
         else:
             self._batch_sharding = None
             put = lambda a: jax.device_put(jnp.asarray(a))  # noqa: E731
+        self._put = put
         self._data = {k: put(v) for k, v in model_inputs.items()}
         self._labels = put(labels)
 
@@ -100,6 +101,16 @@ class DeviceLoader:
             return batch
 
         self._gather = jax.jit(gather)
+
+    def add_arrays(self, extra: Dict[str, np.ndarray]) -> None:
+        """Park additional per-patient arrays; they appear under
+        ``model_inputs`` in every subsequent batch (used by e.g. the
+        FairEHR-CLP contrastive mode's precomputed synthetic views).  The
+        gather re-traces automatically for the new pytree structure."""
+        for k, v in extra.items():
+            if len(v) != self.n:
+                raise ValueError(f"{k}: length {len(v)} != {self.n}")
+            self._data[k] = self._put(v)
 
     def __len__(self) -> int:
         return (self.n + self.batch_size - 1) // self.batch_size

@@ -178,6 +178,7 @@ def prepare_experiment(
     seed: int = 42,
     require_hf_weights: bool = False,
     age_bucket_upper: int = 89,
+    device_data: bool = True,
     verbose: bool = True,
 ) -> PreparedExperiment:
     if head:
@@ -210,11 +211,23 @@ def prepare_experiment(
     loaders = {}
     for split, indices in idx.items():
         flat = {k: v[indices] for k, v in arrays.items()}
-        flat["labels"] = bundle.labels[indices]
-        loaders[split] = NestedLoader(
-            BatchIterator(flat, batch_size, shuffle=(split == "train"),
-                          seed=seed),
-            keys=model_keys)
+        if device_data:
+            # HBM-parked arrays + on-device batch gather (data/device.py):
+            # bit-identical batches to the host path below, without the
+            # per-step host assembly/transfer (see the FAME epoch-loop
+            # ladder in CLAUDE.md).
+            from fairmultimodal_tpu.data.device import DeviceLoader
+
+            loaders[split] = DeviceLoader(
+                {k: flat[k] for k in model_keys if k in flat},
+                bundle.labels[indices], batch_size,
+                shuffle=(split == "train"), seed=seed)
+        else:
+            flat["labels"] = bundle.labels[indices]
+            loaders[split] = NestedLoader(
+                BatchIterator(flat, batch_size, shuffle=(split == "train"),
+                              seed=seed),
+                keys=model_keys)
 
     train_labels = bundle.labels[idx["train"]]
     if pos_weight_mode == "balanced":

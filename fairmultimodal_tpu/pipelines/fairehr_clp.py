@@ -83,18 +83,21 @@ def run_fairehr_clp_experiment(
         # per run (Gaussian perturbations, 06:221-233), so the jitted loss
         # stays a pure function of the batch.
         rng = np.random.default_rng(cfg.train.seed)
-        for loader in prep.loaders.values():
-            flat = loader.it.arrays
-            flat["demo_features_syn"] = (
-                flat["demo_features"]
-                + cfg.syn_noise_demo * rng.standard_normal(
-                    flat["demo_features"].shape).astype(np.float32))
-            flat["lab_features_syn"] = (
-                flat["lab_features"]
-                + cfg.syn_noise_long * rng.standard_normal(
-                    flat["lab_features"].shape).astype(np.float32))
-            loader.keys = tuple(loader.keys) + ("demo_features_syn",
-                                                "lab_features_syn")
+        for split, loader in prep.loaders.items():
+            dfeat = prep.arrays["demo_features"][prep.idx[split]]
+            lfeat = prep.arrays["lab_features"][prep.idx[split]]
+            syn = {
+                "demo_features_syn": dfeat + cfg.syn_noise_demo
+                * rng.standard_normal(dfeat.shape).astype(np.float32),
+                "lab_features_syn": lfeat + cfg.syn_noise_long
+                * rng.standard_normal(lfeat.shape).astype(np.float32),
+            }
+            if hasattr(loader, "add_arrays"):       # device-resident loader
+                loader.add_arrays(syn)
+            else:                                   # host BatchIterator path
+                loader.it.arrays.update(syn)
+                loader.keys = tuple(loader.keys) + ("demo_features_syn",
+                                                    "lab_features_syn")
 
         def extras(params, out, batch):
             return cfg.contrastive_weight * contrastive_loss(

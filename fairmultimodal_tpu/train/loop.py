@@ -324,8 +324,11 @@ class FAMETrainer:
             bces.append(bce)
         nb = len(totals)
         if nb:
-            sums = jnp.sum(jnp.stack(totals)), jnp.sum(jnp.stack(bces))
-            total_sum, bce_sum = map(float, np.asarray(jnp.stack(sums)))
+            # One pull for the whole epoch; float64 left-to-right summation on
+            # host is bit-identical to the old per-step `total += float(loss)`.
+            stacked = np.asarray(jnp.stack(totals + bces))
+            total_sum = float(np.sum(stacked[:nb], dtype=np.float64))
+            bce_sum = float(np.sum(stacked[nb:], dtype=np.float64))
         else:
             total_sum = bce_sum = 0.0
         return params, opt_state, total_sum / max(nb, 1), bce_sum / max(nb, 1)

@@ -146,14 +146,19 @@ class MultitaskTrainer:
     def train_epoch(self, params, opt_state, loader):
         from fairmultimodal_tpu.data.prefetch import PrefetchLoader
 
-        total, nb = 0.0, 0
-        # Batch N+1's host->device transfer overlaps step N's compute.
+        losses: List[jax.Array] = []
+        # Batch N+1's host->device transfer overlaps step N's compute; loss
+        # scalars stay on device until the epoch ends (a float() per step
+        # blocks dispatch on a tunnel round-trip each).  The final float64
+        # host sum is bit-identical to per-step accumulation.
         for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
             rng, self._rng = jax.random.split(self._rng)
             params, opt_state, loss = self._train_step(
                 params, opt_state, batch, rng)
-            total += float(loss)
-            nb += 1
+            losses.append(loss)
+        nb = len(losses)
+        total = (float(np.sum(np.asarray(jnp.stack(losses)), dtype=np.float64))
+                 if nb else 0.0)
         return params, opt_state, total / max(nb, 1)
 
     def evaluate_loss(self, params, loader) -> float:
