@@ -79,6 +79,11 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
                         "quirk from one switch: the relative-index split "
                         "(10_FAME.py:744-755), 02's .head(1000) subsample "
                         "(02:405), and 09's 70-90 age bucket edge (09:57-67)")
+    p.add_argument("--single_task", action="store_true",
+                   help="train a single-label model on --task (the "
+                        "Mechanical_Ventilation generation's regime) instead "
+                        "of a 3-task model with a focused report; supported "
+                        "by behrt/bioclinicalbert/average/sigmoid/eddi")
     p.add_argument("--timing", action="store_true",
                    help="print a per-phase wall-clock block at the end "
                         "(fame/fpm)")
@@ -132,10 +137,29 @@ _TASK_KEY = {"mortality": "mortality", "los": "los",
              "ventilation": "mechanical_ventilation"}
 
 
+_SINGLE_TASK_PIPELINES = ("behrt", "bioclinicalbert", "average", "sigmoid",
+                          "eddi")
+
+
+def _apply_single_task(cfg, args):
+    """--single_task: train a one-label model on --task (the
+    Mechanical_Ventilation generation's regime, FinalCode/Mechanical_
+    Ventilation/*) instead of focusing the 3-task report."""
+    if getattr(args, "single_task", False):
+        if args.task == "all":
+            raise SystemExit(
+                "--single_task requires --task mortality|los|ventilation")
+        cfg.task = _TASK_KEY[args.task]
+    return cfg
+
+
 def _report_task_focus(out, args) -> int:
     """--task focus: re-print the selected task's metric block after the
-    full run (models are always 3-headed like the reference; the flag narrows
-    the report, matching the vent-only legacy pipelines' output surface)."""
+    full run (without --single_task, models are 3-headed like the reference;
+    the flag narrows the report, matching the vent-only legacy pipelines'
+    output surface)."""
+    if getattr(args, "single_task", False):
+        return 0   # metrics are already single-task
     if args.task != "all" and isinstance(out, dict) and "metrics" in out:
         key = _TASK_KEY[args.task]
         m = out["metrics"].get(key)
@@ -148,6 +172,9 @@ def _report_task_focus(out, args) -> int:
 def run_pipeline(args) -> int:
     verbose = not args.quiet
     name = args.pipeline
+    if getattr(args, "single_task", False) and name not in _SINGLE_TASK_PIPELINES:
+        raise SystemExit(f"--single_task is not supported by {name!r} "
+                         f"(supported: {', '.join(_SINGLE_TASK_PIPELINES)})")
 
     if name == "legacy-behrt":
         # Sequence BEHRT (FinalCode/New/02_BEHRT.py) — structured-only, its
@@ -276,6 +303,7 @@ def run_pipeline(args) -> int:
         cfg = BEHRTPipelineConfig(dtype=dtype)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
+        _apply_single_task(cfg, args)
         out = run_behrt_experiment(s, u, cfg, verbose=verbose)
         return _report_task_focus(out, args)
 
@@ -292,6 +320,7 @@ def run_pipeline(args) -> int:
             else (1000 if args.reference_compat else None))
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
+        _apply_single_task(cfg, args)
         out = run_text_only_experiment(s, u, cfg, text_encoder=text_encoder,
                                       verbose=verbose)
         return _report_task_focus(out, args)
@@ -345,6 +374,7 @@ def run_pipeline(args) -> int:
         cfg = AverageFusionPipelineConfig(dtype=dtype, out_dir=args.out_dir)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
+        _apply_single_task(cfg, args)
         out = run_average_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
                                            verbose=verbose)
         return _report_task_focus(out, args)
@@ -362,6 +392,7 @@ def run_pipeline(args) -> int:
         tinyize(cfg)
         if args.tiny:
             cfg.demo_layers, cfg.demo_heads = 1, 2
+        _apply_single_task(cfg, args)
         out = run_eddi_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
                                         verbose=verbose)
         return _report_task_focus(out, args)
@@ -392,6 +423,7 @@ def run_pipeline(args) -> int:
             dtype=dtype, reference_compat=args.reference_compat)
         _apply_overrides(cfg.train, args)
         tinyize(cfg)
+        _apply_single_task(cfg, args)
         out = run_sigmoid_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
                                            verbose=verbose)
         return _report_task_focus(out, args)

@@ -25,7 +25,7 @@ Reference models covered:
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -108,6 +108,7 @@ class StructTextModel(nn.Module):
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
     fusion_hidden: int = 512
+    num_tasks: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -119,6 +120,7 @@ class StructTextModel(nn.Module):
             num_attention_heads=self.num_attention_heads,
             dtype=self.dtype, name="behrt")(batch, deterministic)
         out = AverageFusionModel(fusion_hidden=self.fusion_hidden,
+                                 num_tasks=self.num_tasks,
                                  dtype=self.dtype, name="fusion")(
             struct, batch["text_embedding"], deterministic)
         return out   # {"logits", "fused_embedding"}
@@ -156,6 +158,7 @@ class SigmoidFusionFull(nn.Module):
     lab_layers: int = 2
     lab_heads: int = 8
     fusion_hidden: int = 512
+    num_tasks: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -173,6 +176,7 @@ class SigmoidFusionFull(nn.Module):
                        dtype=self.dtype, name="behrt_lab")(
             batch["lab_features"], deterministic)
         return SigmoidFusionModel(fusion_hidden=self.fusion_hidden,
+                                  num_tasks=self.num_tasks,
                                   dtype=self.dtype, name="fusion")(
             demo, lab, batch["text_embedding"], deterministic)
 
@@ -197,6 +201,9 @@ class EDDIFusionFull(nn.Module):
     lab_heads: int = 8
     proj_dim: int = 256
     dtype: Any = jnp.float32
+    # Single-element tuple = the Mechanical_Ventilation generation's
+    # single-task regime (FinalCode/Mechanical_Ventilation/07_*EDDI*).
+    tasks: Tuple[str, ...] = ("mortality", "los", "mech")
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], deterministic: bool = True):
@@ -219,11 +226,11 @@ class EDDIFusionFull(nn.Module):
                 batch["text_embedding"]),
         ]
         rows = []
-        for ti, task in enumerate(("mortality", "los", "mech")):
+        for ti, task in enumerate(self.tasks):
             cols = [nn.Dense(1, dtype=self.dtype, name=f"head_{task}_{m}")(projs[mi])
                     for mi, m in enumerate(("demo", "lab", "text"))]
             rows.append(jnp.concatenate(cols, axis=-1))        # [B, 3 mods]
-        tm = jnp.stack(rows, axis=1).astype(jnp.float32)       # [B, 3 tasks, 3 mods]
+        tm = jnp.stack(rows, axis=1).astype(jnp.float32)       # [B, T tasks, 3 mods]
         return {"task_modality_logits": tm,
                 # Equal-weight fusion as the default "logits" view.
                 "logits": jnp.mean(tm, axis=2)}
@@ -235,10 +242,12 @@ class BEHRTLabOnlyModel(nn.Module):
     lab_token_count: int
     hidden_size: int = 768
     dtype: Any = jnp.float32
+    tasks: Tuple[str, ...] = ("mort", "los", "mech")
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], deterministic: bool = True):
         logits = BEHRTCombined(self.lab_token_count, self.hidden_size,
-                               dtype=self.dtype, name="combined")(
+                               dtype=self.dtype, tasks=self.tasks,
+                               name="combined")(
             batch["lab_features"], deterministic)
         return {"logits": logits}

@@ -17,7 +17,7 @@ less than rounding to 128 and measured +12% train throughput.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -274,11 +274,15 @@ class BEHRTDemo(nn.Module):
 
 class BEHRTCombined(nn.Module):
     """01_BEHRT structured-only baseline (01_BEHRT.py:132-149): lab encoder
-    -> fusion FC -> dropout -> three single-logit heads, returned [B, 3]."""
+    -> fusion FC -> dropout -> one single-logit head per task, returned
+    [B, len(tasks)].  The default task tuple preserves the three named heads;
+    a single-element tuple reproduces the Mechanical_Ventilation generation's
+    single-task training regime (FinalCode/Mechanical_Ventilation/02_BEHRT)."""
 
     lab_token_count: int
     hidden_size: int = 768
     dtype: Any = jnp.float32
+    tasks: Tuple[str, ...] = ("mort", "los", "mech")
 
     @nn.compact
     def __call__(self, lab_features, deterministic: bool = True):
@@ -287,8 +291,7 @@ class BEHRTCombined(nn.Module):
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="fusion_fc")(x)
         x = nn.Dropout(0.1)(x, deterministic=deterministic)
         logits = jnp.concatenate([
-            nn.Dense(1, dtype=self.dtype, name="classifier_mort")(x),
-            nn.Dense(1, dtype=self.dtype, name="classifier_los")(x),
-            nn.Dense(1, dtype=self.dtype, name="classifier_mech")(x),
+            nn.Dense(1, dtype=self.dtype, name=f"classifier_{t}")(x)
+            for t in self.tasks
         ], axis=-1)
         return logits.astype(jnp.float32)

@@ -19,7 +19,7 @@ import pandas as pd
 from fairmultimodal_tpu.eval.report import eddi_report, evaluate_multitask
 from fairmultimodal_tpu.models.baselines import StructTextModel
 from fairmultimodal_tpu.models.text import TextEncoder
-from fairmultimodal_tpu.pipelines.common import prepare_experiment
+from fairmultimodal_tpu.pipelines.common import prepare_experiment, resolve_task
 from fairmultimodal_tpu.train.simple import MultitaskTrainer, SimpleTrainConfig
 
 __all__ = ["AverageFusionPipelineConfig", "run_average_fusion_experiment"]
@@ -46,6 +46,9 @@ class AverageFusionPipelineConfig:
     dtype: str = "float32"
     out_dir: str = "."
     save_artifacts: bool = True
+    # Single-task regime (FinalCode/Mechanical_Ventilation/05_Multimodal-
+    # Average-Fusion.py)
+    task: Optional[str] = None
 
 
 def run_average_fusion_experiment(
@@ -59,6 +62,7 @@ def run_average_fusion_experiment(
     import jax.numpy as jnp
 
     cfg = config or AverageFusionPipelineConfig()
+    task_names, task_index = resolve_task(cfg.task)
     prep = prepare_experiment(
         structured, unstructured, model_keys=_KEYS,
         batch_size=cfg.train.batch_size, text_encoder=text_encoder,
@@ -66,14 +70,15 @@ def run_average_fusion_experiment(
         text_batch_size=cfg.text_batch_size, test_size=cfg.test_size,
         val_size=cfg.val_size, split_seed=cfg.split_seed,
         split_method="iterstrat", pos_weight_mode="none",
-        seed=cfg.train.seed, verbose=verbose)
+        seed=cfg.train.seed, task_index=task_index, verbose=verbose)
 
     n_ages, _, n_eth, n_ins = prep.vocab_sizes()
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     model = StructTextModel(
         num_ages=n_ages, num_ethnicities=n_eth, num_insurances=n_ins,
         hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_hidden_layers,
-        num_attention_heads=cfg.num_attention_heads, dtype=dtype)
+        num_attention_heads=cfg.num_attention_heads,
+        num_tasks=len(task_names), dtype=dtype)
     trainer = MultitaskTrainer(model, cfg.train)
     example = next(iter(prep.loaders["train"]))
     params = trainer.init_params(example)
@@ -86,9 +91,10 @@ def run_average_fusion_experiment(
     sensitive = {"age": test["age_ids"], "ethnicity": test["ethnicity_ids"],
                  "insurance": test["insurance_ids"]}
     metrics, fairness = evaluate_multitask(test["logits"], test["labels"],
-                                           sensitive, 0.5, verbose=verbose)
+                                           sensitive, 0.5, verbose=verbose,
+                                           task_names=task_names)
     eddi = eddi_report(test["logits"], test["labels"], sensitive, 0.5,
-                       verbose=verbose)
+                       task_names=task_names, verbose=verbose)
 
     artifacts = {}
     if cfg.save_artifacts:

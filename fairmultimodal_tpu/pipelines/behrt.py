@@ -18,7 +18,11 @@ import pandas as pd
 from fairmultimodal_tpu import TASKS
 from fairmultimodal_tpu.eval.report import eddi_report, evaluate_multitask
 from fairmultimodal_tpu.models.baselines import BEHRTLabOnlyModel
-from fairmultimodal_tpu.pipelines.common import prepare_experiment
+from fairmultimodal_tpu.pipelines.common import (
+    TASK_SHORT,
+    prepare_experiment,
+    resolve_task,
+)
 from fairmultimodal_tpu.train.simple import MultitaskTrainer, SimpleTrainConfig
 
 __all__ = ["BEHRTPipelineConfig", "run_behrt_experiment"]
@@ -36,6 +40,10 @@ class BEHRTPipelineConfig:
     split_seed: int = 42
     hidden_size: int = 768
     dtype: str = "float32"
+    # None = the standard 3-task regime; a task name trains a single-label
+    # model like the Mechanical_Ventilation generation
+    # (FinalCode/Mechanical_Ventilation/02_BEHRT.py).
+    task: Optional[str] = None
 
 
 def run_behrt_experiment(
@@ -52,6 +60,7 @@ def run_behrt_experiment(
     import jax.numpy as jnp
 
     cfg = config or BEHRTPipelineConfig()
+    task_names, task_index = resolve_task(cfg.task)
     if unstructured is None:
         unstructured = structured[["subject_id"]].copy()
         unstructured["hadm_id"] = structured["hadm_id"]
@@ -60,11 +69,13 @@ def run_behrt_experiment(
         batch_size=cfg.train.batch_size, need_text=False, require_notes=False,
         test_size=cfg.test_size, val_size=cfg.val_size,
         split_seed=cfg.split_seed, split_method="iterstrat",
-        pos_weight_mode="neg_over_pos", seed=cfg.train.seed, verbose=verbose)
+        pos_weight_mode="neg_over_pos", seed=cfg.train.seed,
+        task_index=task_index, verbose=verbose)
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     model = BEHRTLabOnlyModel(lab_token_count=prep.bundle.num_lab_features,
-                              hidden_size=cfg.hidden_size, dtype=dtype)
+                              hidden_size=cfg.hidden_size, dtype=dtype,
+                              tasks=tuple(TASK_SHORT[t] for t in task_names))
     trainer = MultitaskTrainer(model, cfg.train, pos_weight=prep.pos_weight)
     example = next(iter(prep.loaders["train"]))
     params = trainer.init_params(example)
@@ -78,9 +89,9 @@ def run_behrt_experiment(
                  "insurance": test["insurance_ids"]}
     metrics, fairness = evaluate_multitask(
         test["logits"], test["labels"], sensitive, 0.5, verbose=verbose,
-        auprc_mode="pr_curve")
+        task_names=task_names, auprc_mode="pr_curve")
     eddi = eddi_report(test["logits"], test["labels"], sensitive, 0.5,
-                       verbose=verbose)
+                       task_names=task_names, verbose=verbose)
     return {"metrics": metrics, "fairness": fairness, "eddi": eddi,
             "history": history, "best_params": best_params,
             "trainer": trainer, "prep": prep}

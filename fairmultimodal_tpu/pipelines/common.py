@@ -54,6 +54,27 @@ class NestedLoader:
             }
 
 
+#: Short head names used by the reference's per-task classifier layers.
+TASK_SHORT = {"mortality": "mort", "los": "los",
+              "mechanical_ventilation": "mech"}
+
+
+def resolve_task(task: Optional[str]):
+    """Optional single-task selection -> (task_names, task_index).
+
+    ``task=None`` is the standard three-task regime; a task name selects the
+    Mechanical_Ventilation-generation style single-task training (one label
+    column, one head) for that task.
+    """
+    from fairmultimodal_tpu import TASKS
+
+    if task is None:
+        return tuple(TASKS), None
+    if task not in TASKS:
+        raise ValueError(f"unknown task {task!r}; expected one of {TASKS}")
+    return (task,), list(TASKS).index(task)
+
+
 def pos_weight_neg_over_pos(labels: np.ndarray, clip: Optional[float] = None) -> np.ndarray:
     """Per-task neg/pos positive weight (01_BEHRT.py:204-211); 02 clips at
     10 (02_BioClinicalBERT.py:47-57)."""
@@ -179,6 +200,7 @@ def prepare_experiment(
     require_hf_weights: bool = False,
     age_bucket_upper: int = 89,
     device_data: bool = True,
+    task_index: Optional[int] = None,
     verbose: bool = True,
 ) -> PreparedExperiment:
     if head:
@@ -187,6 +209,12 @@ def prepare_experiment(
     bundle = assemble_features(structured, unstructured,
                                require_notes=require_notes,
                                age_bucket_upper=age_bucket_upper)
+    if task_index is not None:
+        # Single-task regime (the Mechanical_Ventilation generation trains
+        # one-label models — FinalCode/Mechanical_Ventilation/*): slice the
+        # label matrix before splits/pos-weights/loaders so stratification
+        # and class weighting see exactly one task.
+        bundle.labels = bundle.labels[:, [task_index]]
     if verbose:
         print(f"After filtering, number of rows: {bundle.num_patients}")
 

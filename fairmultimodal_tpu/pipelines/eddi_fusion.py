@@ -36,7 +36,11 @@ import pandas as pd
 from fairmultimodal_tpu.eval.report import eddi_report, evaluate_multitask
 from fairmultimodal_tpu.models.baselines import EDDIFusionFull
 from fairmultimodal_tpu.models.text import TextEncoder
-from fairmultimodal_tpu.pipelines.common import prepare_experiment
+from fairmultimodal_tpu.pipelines.common import (
+    TASK_SHORT,
+    prepare_experiment,
+    resolve_task,
+)
 from fairmultimodal_tpu.train.loop import EarlyStopper, PlateauScheduler
 from fairmultimodal_tpu.train.simple import SimpleTrainConfig
 
@@ -66,6 +70,11 @@ class EDDIFusionPipelineConfig:
     lab_layers: int = 2
     lab_heads: int = 8
     dtype: str = "float32"
+    # Single-task regime (FinalCode/Mechanical_Ventilation/
+    # 07_Multimodal_EDDI_Fusion.py).  The (logit - 1)^2 regularizer then
+    # applies to the single task's fused logit (it is the mortality quirk
+    # 08:486-487 in the 3-task regime); set reg_weight=0 to drop it.
+    task: Optional[str] = None
 
 
 def batch_eddi_weights(tm_logits, labels, gender_ids, w_prev, beta: float,
@@ -121,6 +130,7 @@ def run_eddi_fusion_experiment(
     from fairmultimodal_tpu.ops.losses import focal_loss
 
     cfg = config or EDDIFusionPipelineConfig()
+    task_names, task_index = resolve_task(cfg.task)
     prep = prepare_experiment(
         structured, unstructured, model_keys=_KEYS,
         batch_size=cfg.train.batch_size, text_encoder=text_encoder,
@@ -128,7 +138,7 @@ def run_eddi_fusion_experiment(
         text_batch_size=cfg.text_batch_size, test_size=cfg.test_size,
         val_size=cfg.val_size, split_seed=cfg.split_seed,
         split_method="iterstrat", pos_weight_mode="none",
-        seed=cfg.train.seed, verbose=verbose)
+        seed=cfg.train.seed, task_index=task_index, verbose=verbose)
 
     n_ages, n_gen, n_eth, n_ins = prep.vocab_sizes()
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -137,7 +147,8 @@ def run_eddi_fusion_experiment(
         num_insurances=n_ins, lab_token_count=prep.bundle.num_lab_features,
         hidden_size=cfg.hidden_size, demo_layers=cfg.demo_layers,
         demo_heads=cfg.demo_heads, lab_layers=cfg.lab_layers,
-        lab_heads=cfg.lab_heads, dtype=dtype)
+        lab_heads=cfg.lab_heads,
+        tasks=tuple(TASK_SHORT[t] for t in task_names), dtype=dtype)
 
     tx = optax.adam(cfg.train.lr)
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -185,7 +196,7 @@ def run_eddi_fusion_experiment(
     params = model.init(init_rng, example["model_inputs"])["params"]
     opt_state = tx.init(params)
     # Reference base weight when no old weights exist yet is 0.33 (08:389-392).
-    weights = jnp.full((3, 3), 0.33, jnp.float32)
+    weights = jnp.full((len(task_names), 3), 0.33, jnp.float32)
 
     sched = PlateauScheduler(cfg.train.lr, cfg.train.scheduler_factor,
                              cfg.train.scheduler_patience)
@@ -244,8 +255,10 @@ def run_eddi_fusion_experiment(
     labels = np.concatenate(labels_all)
     sensitive = {k: np.concatenate(v) for k, v in sens.items()}
     metrics, fairness = evaluate_multitask(logits, labels, sensitive, 0.5,
+                                           task_names=task_names,
                                            verbose=verbose)
-    eddi = eddi_report(logits, labels, sensitive, 0.5, verbose=verbose)
+    eddi = eddi_report(logits, labels, sensitive, 0.5, task_names=task_names,
+                       verbose=verbose)
     return {"metrics": metrics, "fairness": fairness, "eddi": eddi,
             "history": history, "best_params": best_params,
             "weights": np.asarray(weights), "prep": prep}

@@ -22,7 +22,7 @@ import pandas as pd
 from fairmultimodal_tpu.eval.report import eddi_report, evaluate_multitask
 from fairmultimodal_tpu.models.baselines import SigmoidFusionFull
 from fairmultimodal_tpu.models.text import TextEncoder
-from fairmultimodal_tpu.pipelines.common import prepare_experiment
+from fairmultimodal_tpu.pipelines.common import prepare_experiment, resolve_task
 from fairmultimodal_tpu.train.simple import MultitaskTrainer, SimpleTrainConfig
 
 __all__ = ["SigmoidFusionPipelineConfig", "run_sigmoid_fusion_experiment"]
@@ -51,6 +51,9 @@ class SigmoidFusionPipelineConfig:
     # 09's own age mapper uses a 70-90 last bucket (09:57-67) instead of the
     # canonical 70-89; True reproduces it (age-90 patients bucket vs "Other").
     reference_compat: bool = False
+    # Single-task regime (FinalCode/Mechanical_Ventilation/
+    # 06_Multimodal_Sigmoid_Fusion.py)
+    task: Optional[str] = None
 
 
 def run_sigmoid_fusion_experiment(
@@ -63,6 +66,7 @@ def run_sigmoid_fusion_experiment(
     import jax.numpy as jnp
 
     cfg = config or SigmoidFusionPipelineConfig()
+    task_names, task_index = resolve_task(cfg.task)
     prep = prepare_experiment(
         structured, unstructured, model_keys=_KEYS,
         batch_size=cfg.train.batch_size, text_encoder=text_encoder,
@@ -72,7 +76,7 @@ def run_sigmoid_fusion_experiment(
         split_method="sklearn", pos_weight_mode="none",
         seed=cfg.train.seed,
         age_bucket_upper=90 if cfg.reference_compat else 89,
-        verbose=verbose)
+        task_index=task_index, verbose=verbose)
 
     n_ages, n_gen, n_eth, n_ins = prep.vocab_sizes()
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -81,7 +85,7 @@ def run_sigmoid_fusion_experiment(
         num_insurances=n_ins, lab_token_count=prep.bundle.num_lab_features,
         hidden_size=cfg.hidden_size, demo_layers=cfg.demo_layers,
         demo_heads=cfg.demo_heads, lab_layers=cfg.lab_layers,
-        lab_heads=cfg.lab_heads, dtype=dtype)
+        lab_heads=cfg.lab_heads, num_tasks=len(task_names), dtype=dtype)
     trainer = MultitaskTrainer(model, cfg.train)
     example = next(iter(prep.loaders["train"]))
     params = trainer.init_params(example)
@@ -94,9 +98,10 @@ def run_sigmoid_fusion_experiment(
     sensitive = {"age": test["age_ids"], "ethnicity": test["ethnicity_ids"],
                  "insurance": test["insurance_ids"]}
     metrics, fairness = evaluate_multitask(test["logits"], test["labels"],
-                                           sensitive, 0.5, verbose=verbose)
+                                           sensitive, 0.5, verbose=verbose,
+                                           task_names=task_names)
     eddi = eddi_report(test["logits"], test["labels"], sensitive, 0.5,
-                       verbose=verbose)
+                       task_names=task_names, verbose=verbose)
     return {"metrics": metrics, "fairness": fairness, "eddi": eddi,
             "history": history, "best_params": best_params,
             "trainer": trainer, "prep": prep}

@@ -16,7 +16,7 @@ import pandas as pd
 from fairmultimodal_tpu.eval.report import eddi_report, evaluate_multitask
 from fairmultimodal_tpu.models.baselines import TextOnlyClassifier
 from fairmultimodal_tpu.models.text import TextEncoder
-from fairmultimodal_tpu.pipelines.common import prepare_experiment
+from fairmultimodal_tpu.pipelines.common import prepare_experiment, resolve_task
 from fairmultimodal_tpu.train.simple import MultitaskTrainer, SimpleTrainConfig
 
 __all__ = ["TextOnlyPipelineConfig", "run_text_only_experiment"]
@@ -36,6 +36,8 @@ class TextOnlyPipelineConfig:
     test_size: float = 0.20
     val_size: float = 0.05
     split_seed: int = 42
+    # Single-task regime (FinalCode/Mechanical_Ventilation/04_BioclinicalBERT)
+    task: Optional[str] = None
 
 
 def run_text_only_experiment(
@@ -46,6 +48,7 @@ def run_text_only_experiment(
     verbose: bool = True,
 ) -> Dict:
     cfg = config or TextOnlyPipelineConfig()
+    task_names, task_index = resolve_task(cfg.task)
     prep = prepare_experiment(
         structured, unstructured, model_keys=_KEYS,
         batch_size=cfg.train.batch_size, text_encoder=text_encoder,
@@ -54,9 +57,9 @@ def run_text_only_experiment(
         test_size=cfg.test_size, val_size=cfg.val_size,
         split_seed=cfg.split_seed, split_method="skmultilearn",
         pos_weight_mode="neg_over_pos_clip10", seed=cfg.train.seed,
-        verbose=verbose)
+        task_index=task_index, verbose=verbose)
 
-    model = TextOnlyClassifier()
+    model = TextOnlyClassifier(num_tasks=len(task_names))
     trainer = MultitaskTrainer(model, cfg.train, pos_weight=prep.pos_weight)
     example = next(iter(prep.loaders["train"]))
     params = trainer.init_params(example)
@@ -69,9 +72,10 @@ def run_text_only_experiment(
     sensitive = {"age": test["age_ids"], "ethnicity": test["ethnicity_ids"],
                  "insurance": test["insurance_ids"]}
     metrics, fairness = evaluate_multitask(test["logits"], test["labels"],
-                                           sensitive, 0.5, verbose=verbose)
+                                           sensitive, 0.5, verbose=verbose,
+                                           task_names=task_names)
     eddi = eddi_report(test["logits"], test["labels"], sensitive, 0.5,
-                       verbose=verbose)
+                       task_names=task_names, verbose=verbose)
     return {"metrics": metrics, "fairness": fairness, "eddi": eddi,
             "history": history, "best_params": best_params,
             "trainer": trainer, "prep": prep}
