@@ -22,6 +22,10 @@ __all__ = ["save_params_npz", "load_params_npz", "load_metadata_npz", "Checkpoin
 
 
 def _flatten(tree, prefix=""):
+    # One batched device_get for the whole tree: per-leaf np.asarray would
+    # block on a device round-trip per leaf (~200 leaves x ~33 ms through
+    # the axon tunnel for a full-geometry FAME param tree).
+    tree = jax.device_get(tree)
     flat = {}
     paths = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in paths:
