@@ -206,19 +206,26 @@ def run_eddi_fusion_experiment(
     for epoch in range(cfg.train.num_epochs):
         # `weights` (= old_eddi_weights) stays FIXED for every batch of this
         # epoch; each step fuses with weights + beta*(batch EDDI gap).
-        total, nb = 0.0, 0
+        # Loss scalars stay on device until the epoch ends (a float() per
+        # step blocks dispatch on a tunnel round-trip each); the final
+        # float64 host sum is bit-identical to per-step accumulation.
+        losses = []
         for batch in prep.loaders["train"]:
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, _ = train_step(
                 params, opt_state, put(batch), weights, step_rng)
-            total += float(loss)
-            nb += 1
+            losses.append(loss)
+        nb = len(losses)
+        total = (float(np.sum(np.asarray(jnp.stack(losses)), dtype=np.float64))
+                 if nb else 0.0)
         val_losses, last_val_weights = [], None
         for batch in prep.loaders["val"]:
             vl, w_new, _ = eval_step(params, put(batch), weights)
-            val_losses.append(float(vl))
+            val_losses.append(vl)
             last_val_weights = w_new
-        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+        val_loss = (float(np.mean(np.asarray(jnp.stack(val_losses)),
+                                  dtype=np.float64))
+                    if val_losses else float("inf"))
         if verbose:
             print(f"[Epoch {epoch + 1}] Train Loss: {total / max(nb, 1):.4f} "
                   f"| Val Loss: {val_loss:.4f}")

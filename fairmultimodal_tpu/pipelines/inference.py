@@ -50,12 +50,23 @@ class FAMEPredictor:
         self._fwd = jax.jit(fwd)
 
     def predict_arrays(self, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        """Model-input arrays [N, ...] -> {"probs": [N, 3], "preds": [N, 3]}."""
+        """Model-input arrays [N, ...] -> {"probs": [N, 3], "preds": [N, 3]}.
+
+        Dispatch runs a bounded window ahead of the result pulls so batch
+        N+1's transfer/compute overlaps pulling batch N (a blocking pull per
+        batch costs a device round-trip each — see data/device.py)."""
         import jax.numpy as jnp
 
         n = len(next(iter(arrays.values())))
         bs = self.batch_size
         probs = np.zeros((n, 3), np.float32)
+        window = 4
+        pending = []
+
+        def drain_one():
+            start, stop, out = pending.pop(0)
+            probs[start:stop] = np.asarray(out)[: stop - start]
+
         for start in range(0, n, bs):
             stop = min(start + bs, n)
             chunk = {k: v[start:stop] for k, v in arrays.items()}
@@ -64,12 +75,71 @@ class FAMEPredictor:
                 chunk = {k: np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
                     for k, v in chunk.items()}
-            out = np.asarray(self._fwd(
+            pending.append((start, stop, self._fwd(
                 self.params, {k: jnp.asarray(v) for k, v in chunk.items()},
-                self._dw))
-            probs[start:stop] = out[: stop - start]
+                self._dw)))
+            if len(pending) >= window:
+                drain_one()
+        while pending:
+            drain_one()
         thr = np.asarray([self.thresholds[t] for t in TASKS], np.float32)
         return {"probs": probs, "preds": (probs > thr).astype(np.int32)}
+
+    def benchmark(self, iters: int = 20, seed: int = 0) -> Dict[str, float]:
+        """Measured serving throughput at the compiled batch shape.
+
+        Times ``iters`` back-to-back forward dispatches on synthetic inputs
+        with one final block (the same pattern as bench.py — per-call timing
+        is unreliable on tunneled devices).  Returns batch latency (ms,
+        amortized) and patients/sec.
+        """
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        bs = self.batch_size
+        m = self.model
+        mi = {
+            "demo_dummy_ids": jnp.zeros((bs, 1), jnp.int32),
+            "demo_attn_mask": jnp.ones((bs, 1), jnp.int32),
+            "age_ids": jnp.asarray(rng.integers(0, m.num_ages, bs), jnp.int32),
+            "gender_ids": jnp.asarray(rng.integers(0, m.num_genders, bs), jnp.int32),
+            "ethnicity_ids": jnp.asarray(
+                rng.integers(0, m.num_ethnicities, bs), jnp.int32),
+            "insurance_ids": jnp.asarray(
+                rng.integers(0, m.num_insurances, bs), jnp.int32),
+            "lab_features": jnp.asarray(
+                rng.normal(0, 1, (bs, m.lab_token_count)), jnp.float32),
+            "text_embedding": jnp.asarray(
+                rng.normal(0, 1, (bs, m.text_embed_size)), jnp.float32),
+        }
+        # Timing rules learned the hard way on tunneled devices (CLAUDE.md):
+        # (1) independent repeated dispatches "time" at PFLOP/s-impossible
+        # rates; (2) a data-dependency chain must consume EVERY output
+        # element (jnp.sum) or XLA narrows each step to one batch row;
+        # (3) even then, block_until_ready returns before remote completion
+        # here — only fetching a VALUE truly synchronizes.  So: dependent
+        # host-loop chain, terminated by a scalar fetch.  Validated sane:
+        # 37 ms per 256-batch = ~99 TFLOP/s, matching the train step's MFU,
+        # and ~3.3x the fwd+bwd training throughput (the fwd:fwd+bwd ratio).
+        mix = jax.jit(lambda t, o: t + 1e-30 * jnp.sum(o.astype(jnp.float32)))
+        t = mi["text_embedding"]
+        out = self._fwd(self.params, {**mi, "text_embedding": t}, self._dw)
+        t = mix(t, out)
+        float(jnp.sum(t))            # warmup both programs, full sync
+        t0 = time.perf_counter()
+        t = mi["text_embedding"]
+        for _ in range(iters):
+            out = self._fwd(self.params, {**mi, "text_embedding": t},
+                            self._dw)
+            t = mix(t, out)
+        float(jnp.sum(t))            # value fetch = the only real barrier
+        dt = time.perf_counter() - t0
+        return {"batch_size": float(bs),
+                "batch_latency_ms": 1e3 * dt / iters,
+                "patients_per_sec": bs * iters / dt}
 
 
 def run_fame_inference(

@@ -281,6 +281,11 @@ def test_fame_inference_roundtrip(frames, tiny_text, tmp_path):
     )["fused_logits"])
     np.testing.assert_allclose(out["probs"][:16], np.asarray(direct), atol=1e-5)
 
+    # Serving benchmark smoke: finite, positive, right schema.
+    r = pred.benchmark(iters=2)
+    assert r["batch_size"] == 16
+    assert r["batch_latency_ms"] > 0 and np.isfinite(r["patients_per_sec"])
+
 
 @pytest.mark.slow
 def test_fame_inference_uses_checkpoint_metadata(frames, tiny_text, tmp_path):
