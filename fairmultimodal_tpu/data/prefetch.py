@@ -65,7 +65,15 @@ class PrefetchLoader:
     def __iter__(self):
         if getattr(self.loader, "device_resident", False):
             # DeviceLoader batches are already in HBM (gathered on device);
-            # re-putting them would only add tunnel round-trips.
+            # re-putting them would only add tunnel round-trips.  The loader
+            # must have been parked under the same mesh, or a mesh trainer
+            # would silently receive unsharded single-device batches.
+            if self._mesh is not None and getattr(self.loader, "mesh",
+                                                  None) is not self._mesh:
+                raise ValueError(
+                    "device-resident loader was built without the trainer's "
+                    "mesh; pass mesh=... when constructing DeviceLoader "
+                    "(e.g. prepare_experiment(..., mesh=mesh)).")
             return iter(self.loader)
         if self._mesh is not None:
             from fairmultimodal_tpu.parallel import shard_batch

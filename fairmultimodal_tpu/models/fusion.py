@@ -41,14 +41,21 @@ __all__ = [
 
 
 class _Projector(nn.Module):
-    """Linear(., 256) + ReLU modality projector (10_FAME.py:235-246)."""
+    """Linear(., 256) + ReLU modality projector (10_FAME.py:235-246).
+
+    ``return_pre=True`` also returns the pre-ReLU linear output — 07 saves
+    ``cat(ts_pre, text_pre)`` as its extraction artifact
+    (07_multimodal_average_fusion.py:227-237).  Param tree is unchanged.
+    """
 
     out: int = 256
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        return nn.relu(nn.Dense(self.out, dtype=self.dtype, name="dense")(x))
+    def __call__(self, x, return_pre: bool = False):
+        pre = nn.Dense(self.out, dtype=self.dtype, name="dense")(x)
+        post = nn.relu(pre)
+        return (pre, post) if return_pre else post
 
 
 class FAMEFusion(nn.Module):
@@ -203,16 +210,25 @@ class AverageFusionModel(nn.Module):
 
     @nn.compact
     def __call__(self, struct_emb, text_emb, deterministic: bool = True):
-        s = _Projector(self.proj_dim, self.dtype, name="struct_projector")(struct_emb)
-        t = _Projector(self.proj_dim, self.dtype, name="text_projector")(text_emb)
+        s_pre, s = _Projector(self.proj_dim, self.dtype,
+                              name="struct_projector")(struct_emb,
+                                                       return_pre=True)
+        t_pre, t = _Projector(self.proj_dim, self.dtype,
+                              name="text_projector")(text_emb,
+                                                     return_pre=True)
         fused = jnp.concatenate([s, t], axis=-1)
-        pre_relu = nn.Dense(self.fusion_hidden, dtype=self.dtype, name="dense1")(fused)
-        h = nn.relu(pre_relu)
+        h = nn.relu(nn.Dense(self.fusion_hidden, dtype=self.dtype,
+                             name="dense1")(fused))
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         logits = nn.Dense(self.num_tasks, dtype=self.dtype, name="dense2")(h)
         return {
             "logits": logits.astype(jnp.float32),
-            "fused_embedding": pre_relu.astype(jnp.float32),
+            # 07's extraction artifact is the concat of the two PRE-ReLU
+            # projection outputs (07_multimodal_average_fusion.py:227-237:
+            # fused_embedding_pre_relu = cat(ts_pre, text_pre)), NOT the
+            # classifier dense1 pre-activation.
+            "fused_embedding": jnp.concatenate(
+                [s_pre, t_pre], axis=-1).astype(jnp.float32),
         }
 
 

@@ -213,6 +213,11 @@ def encode_note_chunks(
     def drain_one():
         start, stop, cls = pending.pop(0)
         embs[start:stop] = np.asarray(cls)[: stop - start]
+        # Progress tracks COMPLETED work (drained batches), not dispatches —
+        # a dispatch-time callback would report 100% with up to `window`
+        # batches still pending on device.
+        if progress is not None:
+            progress(stop, n)
 
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
@@ -226,8 +231,6 @@ def encode_note_chunks(
             (start, stop, encoder.encode_ids(jnp.asarray(bi), jnp.asarray(bm))))
         if len(pending) >= window:
             drain_one()
-        if progress is not None:
-            progress(stop, n)
     while pending:
         drain_one()
 

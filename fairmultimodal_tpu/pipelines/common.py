@@ -200,6 +200,7 @@ def prepare_experiment(
     require_hf_weights: bool = False,
     age_bucket_upper: int = 89,
     device_data: bool = True,
+    mesh=None,
     task_index: Optional[int] = None,
     verbose: bool = True,
 ) -> PreparedExperiment:
@@ -249,7 +250,7 @@ def prepare_experiment(
             loaders[split] = DeviceLoader(
                 {k: flat[k] for k in model_keys if k in flat},
                 bundle.labels[indices], batch_size,
-                shuffle=(split == "train"), seed=seed)
+                shuffle=(split == "train"), seed=seed, mesh=mesh)
         else:
             flat["labels"] = bundle.labels[indices]
             loaders[split] = NestedLoader(

@@ -148,7 +148,12 @@ def run_eddi_fusion_experiment(
         hidden_size=cfg.hidden_size, demo_layers=cfg.demo_layers,
         demo_heads=cfg.demo_heads, lab_layers=cfg.lab_layers,
         lab_heads=cfg.lab_heads,
-        tasks=tuple(TASK_SHORT[t] for t in task_names), dtype=dtype)
+        # 3-task default keeps EDDIFusionFull's own task tuple (long
+        # "mortality" head names) so per-path init RNG and trained params
+        # stay loadable into a default-constructed model; only the
+        # single-task regime maps to the short head names.
+        tasks=(EDDIFusionFull.tasks if task_index is None
+               else tuple(TASK_SHORT[t] for t in task_names)), dtype=dtype)
 
     tx = optax.adam(cfg.train.lr)
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -208,7 +213,8 @@ def run_eddi_fusion_experiment(
         # epoch; each step fuses with weights + beta*(batch EDDI gap).
         # Loss scalars stay on device until the epoch ends (a float() per
         # step blocks dispatch on a tunnel round-trip each); the final
-        # float64 host sum is bit-identical to per-step accumulation.
+        # float64 host sum matches per-step accumulation to the last ulp
+        # (np.sum is pairwise — logging-only difference).
         losses = []
         for batch in prep.loaders["train"]:
             rng, step_rng = jax.random.split(rng)

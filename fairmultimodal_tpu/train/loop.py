@@ -196,16 +196,18 @@ class FAMETrainer:
             # [B, modality, task]
             return jax.nn.sigmoid(jnp.stack([ml["demo"], ml["lab"], ml["text"]], axis=1))
 
-        def dyn_stats_step(params, batch, dyn_w):
+        def dyn_stats_step(params, batch, dyn_w, threshold):
             """Per-batch sufficient statistics for the dynamic-weight update.
 
             Device output is O(1): per sensitive attribute, group counts [G]
             and per-(modality, task) error counts [M, T, G] — replacing the
             reference's full-train-set logits-to-CPU pass (10_FAME.py:335-351)
-            and round 1's per-batch [B, M, T] prob pulls.
+            and round 1's per-batch [B, M, T] prob pulls.  ``threshold`` is a
+            traced scalar input (like ``dyn_w``), so callers can vary it
+            without a recompile — it is live, matching 10_FAME.py:315-399.
             """
             probs = modality_probs_step(params, batch, dyn_w)      # [B, M, T]
-            preds = (probs > cfg.threshold).astype(jnp.float32)
+            preds = (probs > threshold).astype(jnp.float32)
             err = (preds != batch["labels"][:, None, :]).astype(jnp.float32)
             w = batch["weight"]
             mi = batch["model_inputs"]
@@ -220,7 +222,16 @@ class FAMETrainer:
                 stats.append((counts, errors))
             return tuple(stats)
 
-        def dyn_stats_scan(params, data, labels_, idx_mat, valid_mat, dyn_w):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            scan_batch_sharding = NamedSharding(self.mesh,
+                                                PartitionSpec("data"))
+        else:
+            scan_batch_sharding = None
+
+        def dyn_stats_scan(params, data, labels_, idx_mat, valid_mat, dyn_w,
+                           threshold):
             """Whole dynamic-weight pass as ONE dispatch.
 
             ``lax.scan`` over the epoch's [steps, B] index matrix against the
@@ -230,20 +241,36 @@ class FAMETrainer:
             each.  Bit-identical to the batchwise path: the statistics are
             exact small-integer sums in fp32, so accumulation order cannot
             change them.
+
+            Under a mesh, each gathered batch is sharding-constrained on the
+            data axis (parked arrays stay replicated — the full cohort is
+            ~180 MB), so the modality inference inside the scan runs
+            data-parallel and GSPMD reduces the [G]/[M,T,G] statistics with
+            psums; the stats are the same exact integer sums, so the
+            single-device and mesh paths agree bit for bit.
             """
             def gather_batch(idx, valid):
                 def take(a):
                     b = jnp.take(a, idx, axis=0)
                     mask = valid.reshape((-1,) + (1,) * (b.ndim - 1))
-                    return jnp.where(mask, b, jnp.zeros((), b.dtype))
+                    b = jnp.where(mask, b, jnp.zeros((), b.dtype))
+                    if scan_batch_sharding is not None:
+                        b = jax.lax.with_sharding_constraint(
+                            b, scan_batch_sharding)
+                    return b
 
+                weight = valid.astype(jnp.float32)
+                if scan_batch_sharding is not None:
+                    weight = jax.lax.with_sharding_constraint(
+                        weight, scan_batch_sharding)
                 return {"model_inputs": {k: take(v) for k, v in data.items()},
                         "labels": take(labels_),
-                        "weight": valid.astype(jnp.float32)}
+                        "weight": weight}
 
             def body(carry, iv):
                 idx, valid = iv
-                stats = dyn_stats_step(params, gather_batch(idx, valid), dyn_w)
+                stats = dyn_stats_step(params, gather_batch(idx, valid),
+                                       dyn_w, threshold)
                 return jax.tree_util.tree_map(jnp.add, carry, stats), None
 
             init = tuple((jnp.zeros(g, jnp.float32),
@@ -324,8 +351,10 @@ class FAMETrainer:
             bces.append(bce)
         nb = len(totals)
         if nb:
-            # One pull for the whole epoch; float64 left-to-right summation on
-            # host is bit-identical to the old per-step `total += float(loss)`.
+            # One pull for the whole epoch.  np.sum uses pairwise summation,
+            # so vs the old per-step `total += float(loss)` the logged loss
+            # can differ in the last float64 ulp (logging-only; the fp32
+            # step losses themselves are unchanged).
             stacked = np.asarray(jnp.stack(totals + bces))
             total_sum = float(np.sum(stacked[:nb], dtype=np.float64))
             bce_sum = float(np.sum(stacked[nb:], dtype=np.float64))
@@ -333,30 +362,61 @@ class FAMETrainer:
             total_sum = bce_sum = 0.0
         return params, opt_state, total_sum / max(nb, 1), bce_sum / max(nb, 1)
 
-    def validate(self, params, loader) -> Tuple[float, np.ndarray, np.ndarray]:
-        """Average val loss (BCE only, matching 10_FAME.py:825) + logits."""
+    def _windowed_eval(self, loader, dispatch, drain, window: int = 8):
+        """Bounded-window eval drive: ``dispatch(batch)`` enqueues device
+        work, ``drain(item)`` pulls a completed item's results to host.
+
+        The per-batch blocking pull is the epoch-loop enemy on the tunnel
+        (~33 ms per round-trip; see CLAUDE.md): draining ``window`` batches
+        behind the dispatch keeps the device pipeline full while the host
+        only ever blocks on work that is already ~window steps old.  Window 8
+        is the measured sweet spot on the axon tunnel (models/text.py:
+        883 vs 412 chunks/s; unbounded queues degrade with depth).
+        """
+        import collections
+
         from fairmultimodal_tpu.data.prefetch import PrefetchLoader
 
-        dyn_w = jnp.asarray(self.dynamic_weights)
-        losses = []
-        logits_all, labels_all = [], []
+        pending = collections.deque()
         for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
-            total, bce, logits = self._eval_step(params, batch, dyn_w)
+            pending.append(dispatch(batch))
+            if len(pending) >= window:
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
+
+    def validate(self, params, loader) -> Tuple[float, np.ndarray, np.ndarray]:
+        """Average val loss (BCE only, matching 10_FAME.py:825) + logits."""
+        dyn_w = jnp.asarray(self.dynamic_weights)
+        losses: List[float] = []
+        logits_all, labels_all = [], []
+
+        def dispatch(batch):
+            _, bce, logits = self._eval_step(params, batch, dyn_w)
+            return bce, logits, batch["weight"], batch["labels"]
+
+        def drain(item):
+            bce, logits, weight, labels = item
             losses.append(float(bce))
-            keep = np.asarray(batch["weight"]) > 0
+            keep = np.asarray(weight) > 0
             logits_all.append(np.asarray(logits)[keep])
-            labels_all.append(np.asarray(batch["labels"])[keep])
+            labels_all.append(np.asarray(labels)[keep])
+
+        self._windowed_eval(loader, dispatch, drain)
         return (float(np.mean(losses)) if losses else float("inf"),
                 np.concatenate(logits_all) if logits_all else np.zeros((0, 3)),
                 np.concatenate(labels_all) if labels_all else np.zeros((0, 3)))
 
     def predict_logits(self, params, loader) -> Dict[str, np.ndarray]:
-        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
-
         dyn_w = jnp.asarray(self.dynamic_weights)
         out = {"logits": [], "labels": [], "age": [], "ethnicity": [], "insurance": []}
-        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
+
+        def dispatch(batch):
             _, _, logits = self._eval_step(params, batch, dyn_w)
+            return logits, batch
+
+        def drain(item):
+            logits, batch = item
             keep = np.asarray(batch["weight"]) > 0
             out["logits"].append(np.asarray(logits)[keep])
             out["labels"].append(np.asarray(batch["labels"])[keep])
@@ -364,6 +424,8 @@ class FAMETrainer:
             out["age"].append(np.asarray(mi["age_ids"])[keep])
             out["ethnicity"].append(np.asarray(mi["ethnicity_ids"])[keep])
             out["insurance"].append(np.asarray(mi["insurance_ids"])[keep])
+
+        self._windowed_eval(loader, dispatch, drain)
         return {k: np.concatenate(v) if v else np.zeros(0) for k, v in out.items()}
 
     def update_dynamic_weights(self, params, loader, threshold: float = 0.5) -> np.ndarray:
@@ -380,29 +442,31 @@ class FAMETrainer:
         instead of the reference's full logits array (10_FAME.py:335-351).
         EDDI from those stats is bit-identical to ``compute_eddi`` with
         ``complete_groups`` (see ``fairness.eddi.eddi_from_stats``).
-        Note: ``threshold`` must match the jitted step's compiled threshold
-        (``config.threshold``) — it is kept as an argument for signature
-        parity but the on-device binarization uses the config value.
+        ``threshold`` is live: it enters the jitted step as a traced scalar
+        (10_FAME.py:315-399 semantics), so non-default values work and never
+        recompile.
         """
         from fairmultimodal_tpu.data.prefetch import PrefetchLoader
         from fairmultimodal_tpu.fairness.eddi import eddi_from_stats
 
         dyn_w = jnp.asarray(self.dynamic_weights)
+        thr = jnp.float32(threshold)
         counts_tot = [np.zeros(g, np.float64) for g in GROUP_SIZES]
         errors_tot = [np.zeros((3, 3, g), np.float64) for g in GROUP_SIZES]
-        if (self.mesh is None and hasattr(loader, "epoch_index_matrix")
-                and hasattr(loader, "_data")):
+        if hasattr(loader, "epoch_index_matrix") and hasattr(loader, "_data"):
             # DeviceLoader fast path: the whole pass is one scan dispatch
             # against the parked arrays (same permutation-protocol epoch
             # consumption; stats are exact integer sums, so bit-identical).
+            # Mesh or not — under a mesh the scan's gathers are constrained
+            # to the data axis and the stat reductions become psums.
             idx_mat, valid_mat = loader.epoch_index_matrix()
             summed = self._dyn_stats_scan(
                 params, loader._data, loader._labels, jnp.asarray(idx_mat),
-                jnp.asarray(valid_mat), dyn_w)
+                jnp.asarray(valid_mat), dyn_w, thr)
         else:
             # Per-batch stats stay on device; one pull at the end of the pass
             # (a per-batch np.asarray costs a blocking tunnel round-trip each).
-            per_batch = [self._dyn_stats_step(params, batch, dyn_w)
+            per_batch = [self._dyn_stats_step(params, batch, dyn_w, thr)
                          for batch in PrefetchLoader(loader, size=2,
                                                      mesh=self.mesh)]
             summed = jax.tree_util.tree_map(
@@ -433,13 +497,16 @@ class FAMETrainer:
         (10_FAME.py:559-604): per test row, the 768-d ``gated_vectors`` and
         512-d ``fusion_pre_relu_vectors`` plus labels/age/ethnicity/insurance
         under the reference's exact npz key names."""
-        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
-
         dyn_w = jnp.asarray(self.dynamic_weights)
         out = {"gated_vectors": [], "fusion_pre_relu_vectors": [], "labels": [],
                "age": [], "ethnicity": [], "insurance": []}
-        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
-            logits, gated, pre_relu = self._extract_step(params, batch, dyn_w)
+
+        def dispatch(batch):
+            _, gated, pre_relu = self._extract_step(params, batch, dyn_w)
+            return gated, pre_relu, batch
+
+        def drain(item):
+            gated, pre_relu, batch = item
             keep = np.asarray(batch["weight"]) > 0
             out["gated_vectors"].append(np.asarray(gated)[keep])
             out["fusion_pre_relu_vectors"].append(np.asarray(pre_relu)[keep])
@@ -448,6 +515,8 @@ class FAMETrainer:
             out["age"].append(np.asarray(mi["age_ids"])[keep])
             out["ethnicity"].append(np.asarray(mi["ethnicity_ids"])[keep])
             out["insurance"].append(np.asarray(mi["insurance_ids"])[keep])
+
+        self._windowed_eval(loader, dispatch, drain)
         return {k: np.concatenate(v) if v else np.zeros(0) for k, v in out.items()}
 
     def fit(self, params, train_loader, val_loader, verbose: bool = True,

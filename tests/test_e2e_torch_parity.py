@@ -1,0 +1,462 @@
+"""END-TO-END numerical parity of the assembled models against live PyTorch.
+
+The module-level parity tests (``test_torch_parity.py``, ``test_bert_parity``)
+check each building block; this file checks the whole assembly — the one
+offline artifact that can catch a silent wiring divergence (projection order,
+dynamic-weight application, L_EDDI reduction, gradient flow) that block-level
+tests cannot see:
+
+- ``TorchFAME`` replicates the reference FAME model
+  (``10_FAME.py:226-313``: BEHRTModel_Demo + BEHRTModel_Lab +
+  MultimodalTransformer_EDDI_Sigmoid) from torch primitives, the joint loss
+  replicates ``train_step`` (``10_FAME.py:401-449``: BCE(pos_weight) +
+  lambda_edd*(10*L_EDDI with the python torch.unique subgroup loop) +
+  lambda_l1*|sig_weights|_1).
+- ``TorchAvgFusion`` replicates 07's BEHRTModel + MultimodalTransformer
+  (``07_multimodal_average_fusion.py:156-238``) with the reference FocalLoss
+  (γ=1) summed over tasks.
+
+Protocol: init the Flax model, transplant its weights into the torch replica
+(the same tensor mapping is applied to the Flax gradient tree so gradients
+compare leaf-for-leaf), evaluate both on one batch with dropout off, and
+assert:
+
+- fused logits agree to <= 1e-5 fp32 (also modality logits / gated vector /
+  fusion_pre_relu / fused_embedding),
+- each loss component (BCE, L_EDDI, L1 / focal) agrees to <= 1e-6,
+- every parameter gradient of the total loss agrees to <= 1e-4.
+
+Tolerances are recorded in PARITY.md.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from fairmultimodal_tpu.models.baselines import StructTextModel  # noqa: E402
+from fairmultimodal_tpu.models.behrt import BEHRTDemo  # noqa: E402
+from fairmultimodal_tpu.models.fusion import FAMEModel  # noqa: E402
+from fairmultimodal_tpu.ops.losses import bce_with_logits, focal_loss  # noqa: E402
+from fairmultimodal_tpu.fairness.loss import eddi_loss  # noqa: E402
+
+H = 32            # hidden size (tiny geometry; wiring is size-independent)
+NH = 4            # attention heads
+LAYERS = 2        # demo BERT layers
+LABS = 16         # lab token count (multiple of BEHRTLab.pad_to: no pad path)
+TEXT_DIM = 12
+B = 6
+N_AGE, N_GEN, N_ETH, N_INS = 4, 2, 5, 6
+
+
+# --- Flax -> torch tensor mapping --------------------------------------------
+
+def _bert_sd(flax_bert, prefix, num_layers):
+    """Flax BertEncoderModel params -> HF BertModel state-dict entries."""
+    t = {}
+    emb = flax_bert["embeddings"]
+    t[f"{prefix}embeddings.word_embeddings.weight"] = emb["word_embeddings"]["embedding"]
+    t[f"{prefix}embeddings.position_embeddings.weight"] = emb["position_embeddings"]["embedding"]
+    t[f"{prefix}embeddings.token_type_embeddings.weight"] = emb["token_type_embeddings"]["embedding"]
+    t[f"{prefix}embeddings.LayerNorm.weight"] = emb["layer_norm"]["scale"]
+    t[f"{prefix}embeddings.LayerNorm.bias"] = emb["layer_norm"]["bias"]
+    for i in range(num_layers):
+        fl = flax_bert[f"layer_{i}"]
+        p = f"{prefix}encoder.layer.{i}"
+        for ours, theirs in (("query", "attention.self.query"),
+                             ("key", "attention.self.key"),
+                             ("value", "attention.self.value"),
+                             ("output_dense", "attention.output.dense")):
+            t[f"{p}.{theirs}.weight"] = fl["attention"][ours]["kernel"].T
+            t[f"{p}.{theirs}.bias"] = fl["attention"][ours]["bias"]
+        t[f"{p}.attention.output.LayerNorm.weight"] = fl["attention"]["output_layer_norm"]["scale"]
+        t[f"{p}.attention.output.LayerNorm.bias"] = fl["attention"]["output_layer_norm"]["bias"]
+        t[f"{p}.intermediate.dense.weight"] = fl["intermediate"]["kernel"].T
+        t[f"{p}.intermediate.dense.bias"] = fl["intermediate"]["bias"]
+        t[f"{p}.output.dense.weight"] = fl["output"]["kernel"].T
+        t[f"{p}.output.dense.bias"] = fl["output"]["bias"]
+        t[f"{p}.output.LayerNorm.weight"] = fl["output_layer_norm"]["scale"]
+        t[f"{p}.output.LayerNorm.bias"] = fl["output_layer_norm"]["bias"]
+    return t
+
+
+def _torch_layer_sd(fl, prefix):
+    """Flax TorchEncoderLayer params -> nn.TransformerEncoderLayer entries."""
+    t = {}
+    t[f"{prefix}.self_attn.in_proj_weight"] = np.concatenate(
+        [fl["query"]["kernel"].T, fl["key"]["kernel"].T, fl["value"]["kernel"].T])
+    t[f"{prefix}.self_attn.in_proj_bias"] = np.concatenate(
+        [fl["query"]["bias"], fl["key"]["bias"], fl["value"]["bias"]])
+    t[f"{prefix}.self_attn.out_proj.weight"] = fl["attn_out"]["kernel"].T
+    t[f"{prefix}.self_attn.out_proj.bias"] = fl["attn_out"]["bias"]
+    t[f"{prefix}.linear1.weight"] = fl["ffn_in"]["kernel"].T
+    t[f"{prefix}.linear1.bias"] = fl["ffn_in"]["bias"]
+    t[f"{prefix}.linear2.weight"] = fl["ffn_out"]["kernel"].T
+    t[f"{prefix}.linear2.bias"] = fl["ffn_out"]["bias"]
+    t[f"{prefix}.norm1.weight"] = fl["norm1"]["scale"]
+    t[f"{prefix}.norm1.bias"] = fl["norm1"]["bias"]
+    t[f"{prefix}.norm2.weight"] = fl["norm2"]["scale"]
+    t[f"{prefix}.norm2.bias"] = fl["norm2"]["bias"]
+    return t
+
+
+def _dense(fl):
+    return fl["kernel"].T, fl["bias"]
+
+
+def fame_flax_to_torch(params):
+    """FAMEModel param tree -> TorchFAME state-dict arrays.
+
+    Applied both to weights (transplant) and to the gradient tree (leaf-wise
+    comparison) — the mapping is linear, so it commutes with d/dθ.
+    """
+    t = _bert_sd(params["behrt_demo"]["bert"], "bert.", LAYERS)
+    for name in ("age", "gender", "ethnicity", "insurance"):
+        t[f"{name}_embedding.weight"] = params["behrt_demo"][f"{name}_embedding"]["embedding"]
+    lab = params["behrt_lab"]
+    t["token_embedding.weight"], t["token_embedding.bias"] = _dense(lab["token_embedding"])
+    t["pos_embedding"] = lab["pos_embedding"]
+    for i in range(2):
+        t.update(_torch_layer_sd(lab[f"layer_{i}"], f"encoder.layers.{i}"))
+    fu = params["fusion"]
+    for mod in ("demo", "lab", "text"):
+        t[f"{mod}_projector.weight"], t[f"{mod}_projector.bias"] = _dense(
+            fu[f"{mod}_projector"]["dense"])
+        t[f"classifier_{mod}.weight"], t[f"classifier_{mod}.bias"] = _dense(
+            fu[f"classifier_{mod}"])
+    t["sig_weights"] = fu["sig_weights"]
+    t["fusion1.weight"], t["fusion1.bias"] = _dense(fu["fusion_dense1"])
+    t["fusion2.weight"], t["fusion2.bias"] = _dense(fu["fusion_dense2"])
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+class TorchFAME(torch.nn.Module):
+    """Reference FAME semantics (10_FAME.py:175-313) in torch primitives."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        cfg = transformers.BertConfig(
+            vocab_size=N_AGE + N_GEN + N_ETH + N_INS + 2, hidden_size=H,
+            num_hidden_layers=LAYERS, num_attention_heads=NH,
+            intermediate_size=3072, max_position_embeddings=512,
+            type_vocab_size=2)
+        self.bert = transformers.BertModel(cfg, add_pooling_layer=False)
+        self.age_embedding = nn.Embedding(N_AGE, H)
+        self.gender_embedding = nn.Embedding(N_GEN, H)
+        self.ethnicity_embedding = nn.Embedding(N_ETH, H)
+        self.insurance_embedding = nn.Embedding(N_INS, H)
+        # BEHRTModel_Lab (10_FAME.py:208-224); batch_first is numerically
+        # identical to the reference's permute-to-[S,B,H] dance.
+        self.token_embedding = nn.Linear(1, H)
+        self.pos_embedding = nn.Parameter(torch.randn(LABS, H))
+        layer = nn.TransformerEncoderLayer(H, NH, batch_first=True)
+        self.encoder = nn.TransformerEncoder(layer, 2)
+        self.demo_projector = nn.Linear(H, 256)
+        self.lab_projector = nn.Linear(H, 256)
+        self.text_projector = nn.Linear(TEXT_DIM, 256)
+        self.classifier_demo = nn.Linear(256, 3)
+        self.classifier_lab = nn.Linear(256, 3)
+        self.classifier_text = nn.Linear(256, 3)
+        self.sig_weights = nn.Parameter(torch.randn(768))
+        self.fusion1 = nn.Linear(768, 512)
+        self.fusion2 = nn.Linear(512, 3)
+
+    def forward(self, b, w_mort):
+        relu = torch.nn.functional.relu
+        cls = self.bert(input_ids=b["demo_dummy_ids"],
+                        attention_mask=b["demo_attn_mask"]).last_hidden_state[:, 0, :]
+        extra = (self.age_embedding(b["age_ids"])
+                 + self.gender_embedding(b["gender_ids"])
+                 + self.ethnicity_embedding(b["ethnicity_ids"])
+                 + self.insurance_embedding(b["insurance_ids"])) / 4.0
+        demo = cls + extra
+        x = self.token_embedding(b["lab_features"].unsqueeze(-1)) + self.pos_embedding
+        lab = self.encoder(x).mean(dim=1)
+        demo_p = relu(self.demo_projector(demo))
+        lab_p = relu(self.lab_projector(lab))
+        text_p = relu(self.text_projector(b["text_embedding"]))
+        # Reference quirk 10_FAME.py:283-293: the MORTALITY row's weights
+        # scale every task's fusion.
+        fused = torch.cat([w_mort[0] * demo_p, w_mort[1] * lab_p,
+                           w_mort[2] * text_p], dim=1)
+        gated = fused * torch.sigmoid(self.sig_weights)
+        pre_relu = self.fusion1(gated)
+        logits = self.fusion2(relu(pre_relu))
+        return {
+            "fused_logits": logits,
+            "modality_logits": {"demo": self.classifier_demo(demo_p),
+                                "lab": self.classifier_lab(lab_p),
+                                "text": self.classifier_text(text_p)},
+            "gated_vector": gated,
+            "fusion_pre_relu": pre_relu,
+        }
+
+
+def reference_leddi(fused_probs, labels, sens_tensors):
+    """Verbatim-semantics L_EDDI (10_FAME.py:423-442): python loop over
+    torch.unique subgroups, (subgroup_err - overall_err)^2, sqrt(mean+1e-8),
+    mean over all (task, attribute) rmse terms."""
+    leddi_losses = []
+    for i in range(fused_probs.shape[1]):
+        p_i, y_i = fused_probs[:, i], labels[:, i]
+        overall = torch.mean(torch.abs(p_i - y_i))
+        for sens in sens_tensors:
+            diffs = []
+            for group in torch.unique(sens):
+                m = sens == group
+                if m.sum() > 0:
+                    sub = torch.mean(torch.abs(p_i[m] - y_i[m]))
+                    diffs.append((sub - overall) ** 2)
+            if diffs:
+                leddi_losses.append(
+                    torch.sqrt(torch.mean(torch.stack(diffs)) + 1e-8))
+    return torch.mean(torch.stack(leddi_losses))
+
+
+def _example_batch(rng):
+    return {
+        "demo_dummy_ids": np.ones((B, 1), np.int32),
+        "demo_attn_mask": np.ones((B, 1), np.int32),
+        "age_ids": rng.integers(0, N_AGE, B).astype(np.int32),
+        "gender_ids": rng.integers(0, N_GEN, B).astype(np.int32),
+        "ethnicity_ids": rng.integers(0, N_ETH, B).astype(np.int32),
+        "insurance_ids": rng.integers(0, N_INS, B).astype(np.int32),
+        "lab_features": rng.normal(0, 1, (B, LABS)).astype(np.float32),
+        "text_embedding": rng.normal(0, 1, (B, TEXT_DIM)).astype(np.float32),
+    }
+
+
+def _to_torch(batch):
+    return {k: torch.tensor(v) for k, v in batch.items()}
+
+
+def _compare_grads(flax_grads_sd, torch_model, atol):
+    torch_grads = {k: p.grad for k, p in torch_model.named_parameters()}
+    compared = 0
+    for name, g in flax_grads_sd.items():
+        tg = torch_grads.get(name)
+        if tg is None:      # unused torch-side params (e.g. absent pooler)
+            continue
+        np.testing.assert_allclose(
+            g, tg.detach().numpy(), atol=atol, rtol=1e-3,
+            err_msg=f"gradient mismatch at {name}")
+        compared += 1
+    assert compared >= len(torch_grads) - 2   # everything trainable covered
+    return compared
+
+
+LAMBDA_EDD, LAMBDA_L1 = 0.8, 0.01
+POS_W = np.array([2.0, 0.5, 3.0], np.float32)
+
+
+@pytest.mark.slow
+def test_fame_end_to_end_matches_torch():
+    rng = np.random.default_rng(0)
+    batch = _example_batch(rng)
+    labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
+    dyn_w = np.array([[0.5, 0.3, 0.2], [0.1, 0.6, 0.3], [0.25, 0.45, 0.30]],
+                     np.float32)
+
+    model = FAMEModel(num_ages=N_AGE, num_genders=N_GEN, num_ethnicities=N_ETH,
+                      num_insurances=N_INS, lab_token_count=LABS,
+                      hidden_size=H, demo_layers=LAYERS, demo_heads=NH,
+                      lab_layers=2, lab_heads=NH)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.PRNGKey(0), jb)["params"]
+
+    ref = TorchFAME()
+    sd = fame_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("position_ids" in m for m in missing), missing
+    ref.eval()
+
+    tb = _to_torch(batch)
+    out_ref = ref(tb, torch.tensor(dyn_w[0]))
+    out = model.apply({"params": params}, jb,
+                      dynamic_weights=jnp.asarray(dyn_w), deterministic=True)
+
+    # -- forward parity (<= 1e-5 fp32) --
+    np.testing.assert_allclose(np.asarray(out["fused_logits"]),
+                               out_ref["fused_logits"].detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+    for m in ("demo", "lab", "text"):
+        np.testing.assert_allclose(
+            np.asarray(out["modality_logits"][m]),
+            out_ref["modality_logits"][m].detach().numpy(),
+            atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["gated_vector"]),
+                               out_ref["gated_vector"].detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["fusion_pre_relu"]),
+                               out_ref["fusion_pre_relu"].detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+    # -- joint loss components (10_FAME.py:401-449 semantics) --
+    tl = torch.tensor(labels)
+    sens_np = [batch["age_ids"], batch["ethnicity_ids"], batch["insurance_ids"]]
+    bce_ref = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor(POS_W))(
+        out_ref["fused_logits"], tl)
+    leddi_ref = reference_leddi(torch.sigmoid(out_ref["fused_logits"]), tl,
+                                [torch.tensor(s) for s in sens_np])
+    l1_ref = torch.sum(torch.abs(ref.sig_weights))
+    total_ref = bce_ref + LAMBDA_EDD * (10 * leddi_ref) + LAMBDA_L1 * l1_ref
+
+    def flax_loss(p):
+        o = model.apply({"params": p}, jb, dynamic_weights=jnp.asarray(dyn_w),
+                        deterministic=True)
+        logits = o["fused_logits"]
+        bce = bce_with_logits(logits, jnp.asarray(labels),
+                              pos_weight=jnp.asarray(POS_W))
+        leddi = eddi_loss(jax.nn.sigmoid(logits), jnp.asarray(labels),
+                          [jnp.asarray(s) for s in sens_np],
+                          (N_AGE, N_ETH, N_INS))
+        l1 = jnp.sum(jnp.abs(p["fusion"]["sig_weights"]))
+        return bce + LAMBDA_EDD * (10.0 * leddi) + LAMBDA_L1 * l1, (bce, leddi, l1)
+
+    (total, (bce, leddi, l1)), grads = jax.value_and_grad(
+        flax_loss, has_aux=True)(params)
+    assert float(bce) == pytest.approx(bce_ref.item(), abs=1e-6)
+    assert float(leddi) == pytest.approx(leddi_ref.item(), abs=1e-6)
+    assert float(l1) == pytest.approx(l1_ref.item(), abs=1e-5)
+    assert float(total) == pytest.approx(total_ref.item(), abs=1e-5)
+
+    # -- gradient parity (<= 1e-4) through the whole assembly --
+    total_ref.backward()
+    grads_sd = fame_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
+    n = _compare_grads(grads_sd, ref, atol=1e-4)
+    assert n > 40   # BERT trunk + lab encoder + fusion all covered
+
+
+# --- 07 average fusion --------------------------------------------------------
+
+N_SEG, N_ADM, N_DIS = 2, 10, 10
+
+
+def avg_flax_to_torch(params):
+    t = _bert_sd(params["behrt"]["bert"], "bert.", LAYERS)
+    for name in ("age", "segment", "admission_loc", "discharge_loc", "gender",
+                 "ethnicity", "insurance"):
+        t[f"{name}_embedding.weight"] = params["behrt"][f"{name}_embedding"]["embedding"]
+    fu = params["fusion"]
+    t["ts_linear.weight"], t["ts_linear.bias"] = _dense(fu["struct_projector"]["dense"])
+    t["text_linear.weight"], t["text_linear.bias"] = _dense(fu["text_projector"]["dense"])
+    t["cls1.weight"], t["cls1.bias"] = _dense(fu["dense1"])
+    t["cls2.weight"], t["cls2.bias"] = _dense(fu["dense2"])
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+class TorchAvgFusion(torch.nn.Module):
+    """07's BEHRTModel + MultimodalTransformer
+    (07_multimodal_average_fusion.py:156-238) in torch primitives."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        cfg = transformers.BertConfig(
+            vocab_size=max(N_AGE + N_SEG + N_ADM + N_DIS + 2, 4),
+            hidden_size=H, num_hidden_layers=LAYERS, num_attention_heads=NH,
+            intermediate_size=3072, max_position_embeddings=512,
+            type_vocab_size=2)
+        self.bert = transformers.BertModel(cfg, add_pooling_layer=False)
+        for name, nn_emb in (("age", N_AGE), ("segment", N_SEG),
+                             ("admission_loc", N_ADM), ("discharge_loc", N_DIS),
+                             ("gender", N_GEN), ("ethnicity", N_ETH),
+                             ("insurance", N_INS)):
+            setattr(self, f"{name}_embedding", nn.Embedding(nn_emb, H))
+        self.ts_linear = nn.Linear(H, 256)
+        self.text_linear = nn.Linear(TEXT_DIM, 256)
+        self.cls1 = nn.Linear(512, 512)
+        self.cls2 = nn.Linear(512, 3)
+
+    def forward(self, b):
+        relu = torch.nn.functional.relu
+        cls = self.bert(input_ids=b["demo_dummy_ids"],
+                        attention_mask=b["demo_attn_mask"]).last_hidden_state[:, 0, :]
+        extra = (self.age_embedding(b["age_ids"])
+                 + self.segment_embedding(b["segment_ids"])
+                 + self.admission_loc_embedding(b["adm_loc_ids"])
+                 + self.discharge_loc_embedding(b["disch_loc_ids"])
+                 + self.gender_embedding(b["gender_ids"])
+                 + self.ethnicity_embedding(b["ethnicity_ids"])
+                 + self.insurance_embedding(b["insurance_ids"])) / 7.0
+        struct = cls + extra
+        ts_pre = self.ts_linear(struct)
+        text_pre = self.text_linear(b["text_embedding"])
+        combined = torch.cat([relu(ts_pre), relu(text_pre)], dim=1)
+        logits = self.cls2(relu(self.cls1(combined)))
+        return logits, torch.cat([ts_pre, text_pre], dim=1)
+
+
+def reference_focal(logits, labels, gamma=1.0):
+    """FocalLoss (02:18-39 / 07:25-46): ((1-e^{-BCE})^g)*BCE, batch mean,
+    summed over the three per-task criteria."""
+    total = 0.0
+    for t in range(logits.shape[1]):
+        bce = torch.nn.functional.binary_cross_entropy_with_logits(
+            logits[:, t], labels[:, t], reduction="none")
+        total = total + (((1 - torch.exp(-bce)) ** gamma) * bce).mean()
+    return total
+
+
+@pytest.mark.slow
+def test_average_fusion_end_to_end_matches_torch():
+    rng = np.random.default_rng(1)
+    batch = {
+        "demo_dummy_ids": np.ones((B, 1), np.int32),
+        "demo_attn_mask": np.ones((B, 1), np.int32),
+        "age_ids": rng.integers(0, N_AGE, B).astype(np.int32),
+        "segment_ids": rng.integers(0, N_SEG, B).astype(np.int32),
+        "adm_loc_ids": rng.integers(0, N_ADM, B).astype(np.int32),
+        "disch_loc_ids": rng.integers(0, N_DIS, B).astype(np.int32),
+        "gender_ids": rng.integers(0, N_GEN, B).astype(np.int32),
+        "ethnicity_ids": rng.integers(0, N_ETH, B).astype(np.int32),
+        "insurance_ids": rng.integers(0, N_INS, B).astype(np.int32),
+        "text_embedding": rng.normal(0, 1, (B, TEXT_DIM)).astype(np.float32),
+    }
+    labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
+
+    model = StructTextModel(num_ages=N_AGE, num_ethnicities=N_ETH,
+                            num_insurances=N_INS, hidden_size=H,
+                            num_hidden_layers=LAYERS, num_attention_heads=NH)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.PRNGKey(1), jb)["params"]
+
+    ref = TorchAvgFusion()
+    sd = avg_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("position_ids" in m for m in missing), missing
+    ref.eval()
+
+    logits_ref, fused_ref = ref(_to_torch(batch))
+    out = model.apply({"params": params}, jb, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               logits_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["fused_embedding"]),
+                               fused_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+    loss_ref = reference_focal(logits_ref, torch.tensor(labels))
+
+    def flax_loss(p):
+        o = model.apply({"params": p}, jb, deterministic=True)
+        per = focal_loss(o["logits"], jnp.asarray(labels), gamma=1.0,
+                         reduction="none")
+        return jnp.sum(jnp.mean(per, axis=0))
+
+    loss, grads = jax.value_and_grad(flax_loss)(params)
+    assert float(loss) == pytest.approx(loss_ref.item(), abs=1e-6)
+
+    loss_ref.backward()
+    grads_sd = avg_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
+    n = _compare_grads(grads_sd, ref, atol=1e-4)
+    assert n > 30
