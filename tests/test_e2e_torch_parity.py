@@ -239,14 +239,22 @@ def _compare_grads(flax_grads_sd, torch_model, atol):
     torch_grads = {k: p.grad for k, p in torch_model.named_parameters()}
     compared = 0
     for name, g in flax_grads_sd.items():
-        tg = torch_grads.get(name)
-        if tg is None:      # unused torch-side params (e.g. absent pooler)
+        if name not in torch_grads:
             continue
-        np.testing.assert_allclose(
-            g, tg.detach().numpy(), atol=atol, rtol=1e-3,
-            err_msg=f"gradient mismatch at {name}")
+        tg = torch_grads[name]
+        if tg is None:
+            # Params outside the loss graph (torch autograd leaves .grad
+            # None): the reference's FAME joint loss never touches the
+            # modality classifiers (10_FAME.py:401-449 uses fused_logits
+            # only — they stay at init and merely drive the EDDI weight
+            # pass).  Flax must agree: exactly zero gradient.
+            assert not np.any(g), f"flax grad nonzero for loss-free {name}"
+        else:
+            np.testing.assert_allclose(
+                g, tg.detach().numpy(), atol=atol, rtol=1e-3,
+                err_msg=f"gradient mismatch at {name}")
         compared += 1
-    assert compared >= len(torch_grads) - 2   # everything trainable covered
+    assert compared == len(torch_grads)   # every trainable param covered
     return compared
 
 
