@@ -586,8 +586,13 @@ class FAMETrainer:
             params, opt_state, train_loss, train_bce = self.train_epoch(
                 params, opt_state, train_loader)
             val_loss, _, _ = self.validate(params, val_loader)
+            prev_lr = sched.lr
             lr = sched.step(val_loss)
             opt_state = self.set_lr(opt_state, lr)
+            if verbose and lr != prev_lr:
+                # torch ReduceLROnPlateau(verbose=True)-style decay line so
+                # golden transcripts pin the scheduler trajectory.
+                print(f"Epoch {epoch + 1}: reducing learning rate to {lr:.4e}.")
             if verbose:
                 print(f"[Epoch {epoch + 1}] Train Loss: {train_loss:.4f} | "
                       f"Val Loss: {val_loss:.4f} ({time.time() - t0:.1f}s)")
@@ -613,6 +618,13 @@ class FAMETrainer:
             for ti, task in enumerate(TASKS):
                 self.tracked_dynamic_weights[task].append(list(map(float, new_w[ti])))
                 csv_rows.append((epoch + 1, task, *[f"{v:.6f}" for v in new_w[ti]]))
+                if verbose:
+                    # Reference's per-outcome update line (10_FAME.py:397) —
+                    # puts the dynamic-weight trajectory into the transcript.
+                    print(f"[{task} Weight Update] New dynamic weights: "
+                          f"{{'demo': {new_w[ti][0]:.6f}, "
+                          f"'lab': {new_w[ti][1]:.6f}, "
+                          f"'text': {new_w[ti][2]:.6f}}}")
             sig = jax.nn.sigmoid(params["fusion"]["sig_weights"])
             self.tracked_sigmoid_weights.append(np.asarray(sig))
             if checkpointer is not None:

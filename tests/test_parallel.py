@@ -142,6 +142,80 @@ def test_full_fit_under_mesh():
                                atol=1e-5)
 
 
+class _NoFastPath:
+    """Proxy that hides DeviceLoader's scan fast-path attributes so
+    update_dynamic_weights falls back to the per-batch stats path."""
+
+    def __init__(self, loader):
+        self._loader = loader
+        self.device_resident = loader.device_resident
+        self.mesh = loader.mesh
+
+    def __len__(self):
+        return len(self._loader)
+
+    def __iter__(self):
+        return iter(self._loader)
+
+
+def test_dyn_stats_scan_under_mesh_matches_single_device():
+    """The one-dispatch dynamic-weight scan must produce bit-identical
+    weights on (a) a single device, (b) a 4x2 mesh (psum'd stats), and
+    (c) the mesh per-batch fallback — the stats are exact integer sums, so
+    any difference is a sharding bug."""
+    from fairmultimodal_tpu.data.device import DeviceLoader
+
+    model = _tiny_model()
+    cfg = TrainConfig(lr=1e-3, batch_size=8)
+    pw = np.ones(3, np.float32)
+    n = 20   # ragged: final batch zero-padded + weight-masked
+    raw = _batch(n, seed=3)
+
+    def fresh_loader(mesh):
+        return DeviceLoader(raw["model_inputs"], raw["labels"], batch_size=8,
+                            shuffle=True, seed=7, mesh=mesh)
+
+    single = FAMETrainer(model, cfg, pw, rngs_seed=0)
+    jb = jax.tree_util.tree_map(jnp.asarray, _batch(8))
+    params = single.init_params(jb)
+    w_single = single.update_dynamic_weights(params, fresh_loader(None))
+
+    mesh = get_mesh(data=4, model=2)
+    p_sh = shard_params_tp(params, mesh)
+    meshed = FAMETrainer(model, cfg, pw, rngs_seed=0, mesh=mesh)
+    w_mesh = meshed.update_dynamic_weights(p_sh, fresh_loader(mesh))
+
+    fallback = FAMETrainer(model, cfg, pw, rngs_seed=0, mesh=mesh)
+    w_fallback = fallback.update_dynamic_weights(
+        p_sh, _NoFastPath(fresh_loader(mesh)))
+
+    np.testing.assert_array_equal(w_single, w_mesh)
+    np.testing.assert_array_equal(w_single, w_fallback)
+
+
+def test_threshold_argument_is_live():
+    """A non-default threshold must change the dynamic-weight statistics
+    without recompiling (it is a traced step input, 10_FAME.py:315-399)."""
+    from fairmultimodal_tpu.data.device import DeviceLoader
+
+    model = _tiny_model()
+    cfg = TrainConfig(lr=1e-3, batch_size=8)
+    trainer = FAMETrainer(model, cfg, np.ones(3, np.float32), rngs_seed=0)
+    raw = _batch(16, seed=4)
+    jb = jax.tree_util.tree_map(jnp.asarray, _batch(8))
+    params = trainer.init_params(jb)
+
+    def loader():
+        return DeviceLoader(raw["model_inputs"], raw["labels"], batch_size=8)
+
+    w_default = trainer.update_dynamic_weights(params, loader(), threshold=0.5)
+    trainer.dynamic_weights = np.full((3, 3), 0.33, np.float32)
+    # An extreme threshold flips every prediction to 0 -> different error
+    # stats -> different weights (unless the cohort is degenerate).
+    w_high = trainer.update_dynamic_weights(params, loader(), threshold=0.999)
+    assert not np.array_equal(w_default, w_high)
+
+
 @pytest.mark.slow
 def test_reference_geometry_mesh_train_step():
     """The REAL 768/12L/12H FAME geometry compiles and steps under
