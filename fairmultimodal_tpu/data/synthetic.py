@@ -58,11 +58,15 @@ def make_common_frames(
     insurance = rng.choice(_INSURANCES, n_patients)
 
     labs = rng.normal(0, 1, (n_patients, n_lab_features)).astype(np.float32)
-    # Learnable signal on the first few lab columns.
+    # Learnable signal on the first few lab columns, plus a modest age
+    # gradient on mortality/los so demographics-only branches (legacy
+    # sequence-BEHRT, demo encoders) are separable too — real ICU outcomes
+    # correlate with age.
     w = np.zeros(n_lab_features)
     w[:4] = [1.5, -1.2, 0.9, 0.7]
-    logit_mort = labs @ w - 1.2 + 0.3 * rng.normal(size=n_patients)
-    logit_los = labs @ np.roll(w, 4) - 0.4 + 0.3 * rng.normal(size=n_patients)
+    age_sig = 0.03 * (age - 52.0)
+    logit_mort = labs @ w - 1.2 + age_sig + 0.3 * rng.normal(size=n_patients)
+    logit_los = labs @ np.roll(w, 4) - 0.4 + age_sig + 0.3 * rng.normal(size=n_patients)
     logit_vent = labs @ np.roll(w, 8) + 0.8 + 0.3 * rng.normal(size=n_patients)
     mort = (1 / (1 + np.exp(-logit_mort)) > 0.5).astype(int)
     los = (1 / (1 + np.exp(-logit_los)) > 0.5).astype(int)
@@ -101,9 +105,16 @@ def make_common_frames(
                 continue
             n_words = rng.integers(8, 40)
             words = list(rng.choice(_WORDS, n_words))
-            # Inject a weak text signal for ventilation.
+            # Weak per-task text markers (real ICU notes carry outcome signal
+            # — the reference's text-only AUROC is ~0.89; these make the
+            # text-branch models learnably-separable so e2e tests can assert
+            # AUROC, not just finiteness).
             if vent[i] and rng.random() < 0.8:
                 words += ["intubated", "ventilator"]
+            if mort[i] and rng.random() < 0.8:
+                words += ["unresponsive", "expired"]
+            if los[i] and rng.random() < 0.8:
+                words += ["prolonged", "tracheostomy"]
             texts.append(" ".join(words))
         note_cols[f"note_chunk_{k + 1}"] = texts
     # A handful of patients with no notes at all (zero-vector path,

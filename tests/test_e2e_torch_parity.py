@@ -275,7 +275,9 @@ def test_fame_end_to_end_matches_torch():
                       hidden_size=H, demo_layers=LAYERS, demo_heads=NH,
                       lab_layers=2, lab_heads=NH)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
-    params = model.init(jax.random.PRNGKey(0), jb)["params"]
+    # Typed threefry key: pipeline tests flip the global default-PRNG flag
+    # (utils/rng.py), and this test's draws must not depend on suite order.
+    params = model.init(jax.random.key(0, impl="threefry2x32"), jb)["params"]
 
     ref = TorchFAME()
     sd = fame_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
@@ -333,7 +335,9 @@ def test_fame_end_to_end_matches_torch():
     assert float(bce) == pytest.approx(bce_ref.item(), abs=1e-6)
     assert float(leddi) == pytest.approx(leddi_ref.item(), abs=1e-6)
     assert float(l1) == pytest.approx(l1_ref.item(), abs=1e-5)
-    assert float(total) == pytest.approx(total_ref.item(), abs=1e-5)
+    # Sum of three independently-toleranced components: allow their combined
+    # slack (the 10x L_EDDI term alone scales a 1e-6 component diff to 8e-6).
+    assert float(total) == pytest.approx(total_ref.item(), abs=3e-5)
 
     # -- gradient parity (<= 1e-4) through the whole assembly --
     total_ref.backward()
@@ -434,7 +438,7 @@ def test_average_fusion_end_to_end_matches_torch():
                             num_insurances=N_INS, hidden_size=H,
                             num_hidden_layers=LAYERS, num_attention_heads=NH)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
-    params = model.init(jax.random.PRNGKey(1), jb)["params"]
+    params = model.init(jax.random.key(1, impl="threefry2x32"), jb)["params"]
 
     ref = TorchAvgFusion()
     sd = avg_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
