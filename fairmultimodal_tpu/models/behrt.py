@@ -17,6 +17,7 @@ less than rounding to 128 and measured +12% train throughput.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -29,10 +30,31 @@ from fairmultimodal_tpu.ops.attention import multi_head_attention
 from fairmultimodal_tpu.ops.fused_attention_block import (
     can_use_fused_attention_block,
     fused_attention_block,
+    fused_attention_block_ln,
 )
-from fairmultimodal_tpu.ops.fused_ffn import can_use_fused_ffn, fused_ffn
+from fairmultimodal_tpu.ops.fused_ffn import (
+    can_use_fused_ffn,
+    fused_ffn,
+    fused_ffn_ln,
+)
 
 __all__ = ["BEHRTDemo", "BEHRTLab", "BEHRTCombined", "TorchEncoderLayer"]
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter-only stand-in for ``nn.LayerNorm`` (scale/bias, same names,
+    shapes, and initializers), used when the LN is folded into a Pallas
+    epilogue — checkpoints stay interchangeable with the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return scale, bias
 
 
 class _DenseParams(nn.Module):
@@ -83,12 +105,32 @@ class TorchEncoderLayer(nn.Module):
     # qkv projections, the head-split/merge transposes, softmax attention,
     # and the output projection into one fwd + one bwd kernel.  None = auto.
     attn_kernel: Optional[bool] = None
+    # Fold the post-attention / post-FFN dropout + residual + LayerNorm into
+    # the Pallas kernels' epilogues (fused_attention_block_ln / fused_ffn_ln)
+    # whenever the respective kernel is active: the whole encoder layer is
+    # then exactly TWO Pallas calls with no XLA glue between half-layers.
+    # None = auto (fold when the kernel runs); False = round-2 behavior
+    # (kernels + XLA dropout/add/LN) for A/B.
+    fold_ln: Optional[bool] = None
+
+    def _dropout_seed(self, n: int, deterministic: bool) -> jax.Array:
+        if not deterministic and self.dropout > 0:
+            key = self.make_rng("dropout")
+            return jax.random.randint(key, (n,), 0, np.iinfo(np.int32).max,
+                                      dtype=jnp.int32)
+        return jnp.zeros((n,), jnp.int32)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         h, nh = self.hidden_size, self.num_heads
         d = h // nh
         b, s, _ = x.shape
+        interpret = jax.default_backend() != "tpu"
+        # FMTPU_FOLD_LN=0 flips the auto default off — bench A/B knob only
+        # (read at trace time; jit caches per-HLO so both variants coexist).
+        fold = (self.fold_ln if self.fold_ln is not None
+                else os.environ.get("FMTPU_FOLD_LN", "1") != "0")
+        c = lambda a: a.astype(self.dtype)
 
         use_mega = self.attn_kernel
         if use_mega is None:
@@ -99,11 +141,20 @@ class TorchEncoderLayer(nn.Module):
             wk, bk = _DenseParams(h, h, name="key")()
             wv, bv = _DenseParams(h, h, name="value")()
             wo, bo = _DenseParams(h, h, name="attn_out")()
-            c = lambda a: a.astype(self.dtype)
-            attn = fused_attention_block(
-                x.astype(self.dtype), c(wq), c(bq), c(wk), c(bk), c(wv),
-                c(bv), c(wo), c(bo), mask, nh,
-                jax.default_backend() != "tpu")
+            if fold:
+                gamma1, beta1 = _LayerNormParams(h, name="norm1")()
+                x = fused_attention_block_ln(
+                    x.astype(self.dtype), c(wq), c(bq), c(wk), c(bk), c(wv),
+                    c(bv), c(wo), c(bo), gamma1, beta1, mask,
+                    self._dropout_seed(1, deterministic), nh, self.dropout,
+                    deterministic, interpret)
+            else:
+                attn = fused_attention_block(
+                    x.astype(self.dtype), c(wq), c(bq), c(wk), c(bk), c(wv),
+                    c(bv), c(wo), c(bo), mask, nh, interpret)
+                attn = nn.Dropout(self.dropout)(attn,
+                                                deterministic=deterministic)
+                x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
         else:
             if self.fused_qkv:
                 qkv = nn.Dense(3 * h, dtype=self.dtype, name="qkv")(x)
@@ -118,8 +169,8 @@ class TorchEncoderLayer(nn.Module):
             attn = multi_head_attention(q, k, v, mask)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
             attn = nn.Dense(h, dtype=self.dtype, name="attn_out")(attn)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
 
         use_fused = self.ffn_kernel
         if use_fused is None:
@@ -127,19 +178,19 @@ class TorchEncoderLayer(nn.Module):
         if use_fused:
             w1, b1 = _DenseParams(h, self.ffn_size, name="ffn_in")()
             w2, b2 = _DenseParams(self.ffn_size, h, name="ffn_out")()
-            if not deterministic and self.dropout > 0:
-                key = self.make_rng("dropout")
-                seed = jax.random.randint(key, (1,), 0,
-                                          np.iinfo(np.int32).max,
-                                          dtype=jnp.int32)
-            else:
-                seed = jnp.zeros((1,), jnp.int32)
+            if fold:
+                gamma2, beta2 = _LayerNormParams(h, name="norm2")()
+                return fused_ffn_ln(
+                    x.reshape(b * s, h).astype(self.dtype),
+                    c(w1), c(b1), c(w2), c(b2), gamma2, beta2,
+                    self._dropout_seed(2, deterministic), self.dropout,
+                    deterministic, interpret,
+                ).reshape(b, s, h)
             y = fused_ffn(
                 x.reshape(b * s, h).astype(self.dtype),
-                w1.astype(self.dtype), b1.astype(self.dtype),
-                w2.astype(self.dtype), b2.astype(self.dtype),
-                seed, self.dropout, deterministic,
-                jax.default_backend() != "tpu",
+                c(w1), c(b1), c(w2), c(b2),
+                self._dropout_seed(1, deterministic), self.dropout,
+                deterministic, interpret,
             ).reshape(b, s, h)
         else:
             y = nn.Dense(self.ffn_size, dtype=self.dtype, name="ffn_in")(x)

@@ -63,7 +63,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_attention_block", "can_use_fused_attention_block"]
+__all__ = ["fused_attention_block", "fused_attention_block_ln",
+           "can_use_fused_attention_block"]
+
+_LN_EPS = 1e-6   # flax nn.LayerNorm default (the XLA path's epsilon)
 
 NEG_INF = -1e9
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -465,6 +468,427 @@ def _vjp_bwd(num_heads, interpret, residuals, g):
 
 
 fused_attention_block.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# -- LN-epilogue variant: LayerNorm(x + dropout(attn(x))) ---------------------------
+#
+# Folds the torch post-LN attention half-layer — the attention block above
+# plus the output dropout, residual add, and norm1 — into the same kernel
+# pair.  Epilogue runs once per batch row at the final head step, where the
+# fp32 attention accumulator and the x block are already VMEM-resident.
+#
+# Residual strategy mirrors ops/fused_ffn.py: store z = x + dropout(attn)
+# in the input dtype, recompute mean/rstd from the STORED value in both
+# passes (bit-identical statistics; same information content as the XLA
+# path's bf16 residual-add-then-LN).  The output dropout mask is replayed
+# in the backward from the same per-batch-row seed
+# (``pltpu.prng_seed(seed + b)``) — the on-core PRNG is deterministic.
+
+
+def _ln_rows(zz):
+    mu = jnp.mean(zz, axis=-1, keepdims=True)
+    var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    return (zz - mu) * rstd
+
+
+def _mega_ln_fwd_kernel(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                        wv_ref, bv_ref, wo_ref, bo_ref, gamma_ref, beta_ref,
+                        mask_ref,
+                        out_ref, q_ref, k_ref, v_ref, o_ref, z_ref,
+                        acc_ref, *, scale: float, dp: int,
+                        keep_threshold: int, inv_keep: float,
+                        apply_dropout: bool):
+    bi = pl.program_id(0)
+    hh = pl.program_id(1)
+    nh = pl.num_programs(1)
+    x = x_ref[0]                                        # [S, H]
+    col = pl.ds(hh * dp, dp)
+
+    def proj(w_ref, b_ref):
+        y = jnp.dot(x, w_ref[:, col], preferred_element_type=jnp.float32)
+        return (y + b_ref[0, col].astype(jnp.float32)[None, :]).astype(x.dtype)
+
+    q = proj(wq_ref, bq_ref)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+    q_ref[0, :, :] = q
+    k_ref[0, :, :] = k
+    v_ref[0, :, :] = v
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    row = mask_ref[pl.ds(bi, 1), :]
+    s = s + jnp.where(row > 0, 0.0, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(x.dtype)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    o_ref[0, :, :] = o
+
+    contrib = jnp.dot(o, wo_ref[pl.ds(hh * dp, dp), :],
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(hh == 0)
+    def _():
+        acc_ref[:] = contrib + bo_ref[:].astype(jnp.float32)
+
+    @pl.when(hh > 0)
+    def _():
+        acc_ref[:] += contrib
+
+    @pl.when(hh == nh - 1)
+    def _():
+        y = acc_ref[:]
+        if apply_dropout:
+            pltpu.prng_seed(seed_ref[0] + bi)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(y.shape), jnp.uint32)
+            y = jnp.where(bits < jnp.uint32(keep_threshold), y * inv_keep, 0.0)
+        z = (x.astype(jnp.float32) + y).astype(z_ref.dtype)
+        z_ref[0] = z
+        xhat = _ln_rows(z.astype(jnp.float32))
+        out = (xhat * gamma_ref[:].astype(jnp.float32)
+               + beta_ref[:].astype(jnp.float32))
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _fwd_ln_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
+                 *, num_heads: int, rate: float, deterministic: bool,
+                 interpret: bool):
+    b, s, h = x.shape
+    d = h // num_heads
+    dp = _round_up(d, 128)
+    scale = 1.0 / (d ** 0.5)
+    if mask is None:
+        mask = jnp.ones((b, s), jnp.int32)
+    packed = (_pack_in(wq, num_heads, d, dp), _pack_bias(bq, num_heads, d, dp),
+              _pack_in(wk, num_heads, d, dp), _pack_bias(bk, num_heads, d, dp),
+              _pack_in(wv, num_heads, d, dp), _pack_bias(bv, num_heads, d, dp),
+              _pack_out(wo, num_heads, d, dp), bo.reshape(1, h))
+    stripes = num_heads * dp
+    apply_dropout = (not deterministic) and rate > 0.0
+    keep_prob = 1.0 - rate
+
+    xspec = pl.BlockSpec((1, s, h), lambda i, j, sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i, j, sp: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    stripe = pl.BlockSpec((1, s, dp), lambda i, j, sp: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    qshape = jax.ShapeDtypeStruct((b, s, stripes), x.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_heads),
+        in_specs=[
+            xspec,
+            const2((h, stripes)), const2((1, stripes)),
+            const2((h, stripes)), const2((1, stripes)),
+            const2((h, stripes)), const2((1, stripes)),
+            const2((stripes, h)), const2((1, h)),
+            const2((1, h)), const2((1, h)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # whole [B, S] mask
+        ],
+        out_specs=(xspec, stripe, stripe, stripe, stripe, xspec),
+        scratch_shapes=[pltpu.VMEM((s, h), jnp.float32)],
+    )
+    out, q, k, v, o, z = pl.pallas_call(
+        functools.partial(
+            _mega_ln_fwd_kernel, scale=scale, dp=dp,
+            keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
+            inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
+            apply_dropout=apply_dropout),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((b, s, h), x.dtype),
+                   qshape, qshape, qshape, qshape,
+                   jax.ShapeDtypeStruct((b, s, h), x.dtype)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (8 * s * h * h + 4 * s * s * h),
+            bytes_accessed=(b * s * h * 3 + 4 * b * s * stripes)
+            * x.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(seed, x, *packed, gamma.reshape(1, h), beta.reshape(1, h), mask)
+    return out, q, k, v, o, z
+
+
+def _mega_ln_bwd_kernel(seed_ref, g_ref, x_ref, q_ref, k_ref, v_ref, o_ref,
+                        z_ref, wq_ref, wk_ref, wv_ref, wo_ref, gamma_ref,
+                        mask_ref,
+                        dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                        dwv_ref, dbv_ref, dwo_ref, dbo_ref,
+                        dgamma_ref, dbeta_ref,
+                        dx_acc, da_acc, dwq_acc, dwk_acc, dwv_acc, dwo_acc,
+                        *, scale: float, dp: int, keep_threshold: int,
+                        inv_keep: float, apply_dropout: bool):
+    bi = pl.program_id(0)
+    nb = pl.num_programs(0)
+    hh = pl.program_id(1)
+    nh = pl.num_programs(1)
+    x = x_ref[0]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    o = o_ref[0]
+    col = pl.ds(hh * dp, dp)
+
+    # LN VJP + output-dropout replay, once per batch row (head step 0).
+    # dx_acc is seeded with dz (the residual branch); da_acc holds the
+    # gradient into the pre-dropout attention output for the head loop.
+    @pl.when(hh == 0)
+    def _():
+        g32 = g_ref[0].astype(jnp.float32)                   # [S, H]
+        zz = z_ref[0].astype(jnp.float32)
+        hdim = zz.shape[-1]
+        mu = jnp.mean(zz, axis=-1, keepdims=True)
+        var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + _LN_EPS)
+        xhat = (zz - mu) * rstd
+        gg = g32 * gamma_ref[:].astype(jnp.float32)
+        m1 = jnp.sum(gg, axis=-1, keepdims=True) / hdim
+        m2 = jnp.sum(gg * xhat, axis=-1, keepdims=True) / hdim
+        dz = rstd * (gg - m1 - xhat * m2)
+        dattn = dz
+        if apply_dropout:
+            pltpu.prng_seed(seed_ref[0] + bi)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(dz.shape), jnp.uint32)
+            dattn = jnp.where(bits < jnp.uint32(keep_threshold),
+                              dz * inv_keep, 0.0)
+        dx_acc[:] = dz
+        da_acc[:] = dattn
+        dgamma_c = jnp.sum(g32 * xhat, axis=0, keepdims=True)
+        dbeta_c = jnp.sum(g32, axis=0, keepdims=True)
+
+        @pl.when(bi == 0)
+        def _():
+            dgamma_ref[:] = dgamma_c
+            dbeta_ref[:] = dbeta_c
+            dbo_ref[:] = jnp.sum(dattn, axis=0, keepdims=True)
+
+        @pl.when(bi > 0)
+        def _():
+            dgamma_ref[:] += dgamma_c
+            dbeta_ref[:] += dbeta_c
+            dbo_ref[:] += jnp.sum(dattn, axis=0, keepdims=True)
+
+    g = da_acc[:].astype(x.dtype)                            # [S, H]
+
+    do = jax.lax.dot_general(g, wo_ref[col, :], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(x.dtype)
+    dwo_c = jax.lax.dot_general(o, g, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    row = mask_ref[pl.ds(bi, 1), :]
+    s = s + jnp.where(row > 0, 0.0, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p_b = p.astype(x.dtype)
+
+    dv = jax.lax.dot_general(p_b, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpm = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = p * (dpm - jnp.sum(dpm * p, axis=-1, keepdims=True))
+    ds_b = (ds * scale).astype(x.dtype)
+    dq = jnp.dot(ds_b, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds_b, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_b = dq.astype(x.dtype)
+    dk_b = dk.astype(x.dtype)
+    dv_b = dv.astype(x.dtype)
+
+    dx_c = (jnp.dot(dq_b, wq_ref[:, col].T, preferred_element_type=jnp.float32)
+            + jnp.dot(dk_b, wk_ref[:, col].T, preferred_element_type=jnp.float32)
+            + jnp.dot(dv_b, wv_ref[:, col].T, preferred_element_type=jnp.float32))
+    dx_acc[:] += dx_c
+
+    @pl.when(hh == nh - 1)
+    def _():
+        dx_ref[0] = dx_acc[:].astype(dx_ref.dtype)
+
+    dwq_c = jax.lax.dot_general(x, dq_b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dwk_c = jax.lax.dot_general(x, dk_b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dwv_c = jax.lax.dot_general(x, dv_b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    row_h = pl.ds(hh, 1)
+
+    @pl.when(bi == 0)
+    def _():
+        dwq_acc[hh] = dwq_c
+        dwk_acc[hh] = dwk_c
+        dwv_acc[hh] = dwv_c
+        dwo_acc[hh] = dwo_c
+        dbq_ref[row_h, :] = jnp.sum(dq, axis=0, keepdims=True)
+        dbk_ref[row_h, :] = jnp.sum(dk, axis=0, keepdims=True)
+        dbv_ref[row_h, :] = jnp.sum(dv, axis=0, keepdims=True)
+
+    @pl.when(bi > 0)
+    def _():
+        dwq_acc[hh] += dwq_c
+        dwk_acc[hh] += dwk_c
+        dwv_acc[hh] += dwv_c
+        dwo_acc[hh] += dwo_c
+        dbq_ref[row_h, :] += jnp.sum(dq, axis=0, keepdims=True)
+        dbk_ref[row_h, :] += jnp.sum(dk, axis=0, keepdims=True)
+        dbv_ref[row_h, :] += jnp.sum(dv, axis=0, keepdims=True)
+
+    @pl.when(bi == nb - 1)
+    def _():
+        dwq_ref[:] = dwq_acc[hh]
+        dwk_ref[:] = dwk_acc[hh]
+        dwv_ref[:] = dwv_acc[hh]
+        dwo_ref[:] = dwo_acc[hh]
+
+
+def _bwd_ln_impl(g, x, q, k, v, o, z, packed, gamma, mask, seed, *,
+                 num_heads: int, dp: int, scale: float, rate: float,
+                 deterministic: bool, interpret: bool):
+    b, s, h = x.shape
+    stripes = num_heads * dp
+    wq, wk, wv, wo = packed
+    apply_dropout = (not deterministic) and rate > 0.0
+    keep_prob = 1.0 - rate
+
+    xspec = pl.BlockSpec((1, s, h), lambda i, j, sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    stripe = pl.BlockSpec((1, s, dp), lambda i, j, sp: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i, j, sp: (0, 0),
+                                        memory_space=pltpu.VMEM)
+
+    nb = b
+    final = lambda i, j: jnp.where(i == nb - 1, j, 0)
+    win = pl.BlockSpec((h, dp), lambda i, j, sp: (0, final(i, j)),
+                       memory_space=pltpu.VMEM)
+    bin_ = const2((num_heads, dp))
+    wout = pl.BlockSpec((dp, h), lambda i, j, sp: (final(i, j), 0),
+                        memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_heads),
+        in_specs=[
+            xspec, xspec, stripe, stripe, stripe, stripe, xspec,
+            const2((h, stripes)), const2((h, stripes)), const2((h, stripes)),
+            const2((stripes, h)), const2((1, h)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # whole [B, S] mask
+        ],
+        out_specs=(xspec, win, bin_, win, bin_, win, bin_, wout,
+                   const2((1, h)), const2((1, h)), const2((1, h))),
+        scratch_shapes=[
+            pltpu.VMEM((s, h), f32),                    # dx acc
+            pltpu.VMEM((s, h), f32),                    # dattn (post-replay)
+            pltpu.VMEM((num_heads, h, dp), f32),
+            pltpu.VMEM((num_heads, h, dp), f32),
+            pltpu.VMEM((num_heads, h, dp), f32),
+            pltpu.VMEM((num_heads, dp, h), f32),
+        ],
+    )
+    (dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dgamma,
+     dbeta) = pl.pallas_call(
+        functools.partial(
+            _mega_ln_bwd_kernel, scale=scale, dp=dp,
+            keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
+            inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
+            apply_dropout=apply_dropout),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, h), g.dtype),
+            jax.ShapeDtypeStruct((h, stripes), f32),
+            jax.ShapeDtypeStruct((num_heads, dp), f32),
+            jax.ShapeDtypeStruct((h, stripes), f32),
+            jax.ShapeDtypeStruct((num_heads, dp), f32),
+            jax.ShapeDtypeStruct((h, stripes), f32),
+            jax.ShapeDtypeStruct((num_heads, dp), f32),
+            jax.ShapeDtypeStruct((stripes, h), f32),
+            jax.ShapeDtypeStruct((1, h), f32),
+            jax.ShapeDtypeStruct((1, h), f32),
+            jax.ShapeDtypeStruct((1, h), f32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (16 * s * h * h + 8 * s * s * h),
+            bytes_accessed=(4 * b * s * h + 4 * b * s * stripes)
+            * g.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(seed, g, x, q, k, v, o, z, wq, wk, wv, wo, gamma.reshape(1, h), mask)
+    return dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dgamma, dbeta
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+def fused_attention_block_ln(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta,
+                             mask, seed, num_heads: int = 8,
+                             rate: float = 0.1, deterministic: bool = True,
+                             interpret: bool = False):
+    """Attention half-layer: ``LayerNorm(x + dropout(attn_block(x)))``.
+
+    Same weights/mask contract as :func:`fused_attention_block` plus the
+    norm1 ``gamma``/``beta`` [H] and a [1] int32 dropout ``seed`` (ignored
+    when deterministic).  Returns [B, S, H] in ``x.dtype``.
+    """
+    out, _, _, _, _, _ = _fwd_ln_impl(
+        x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
+        num_heads=num_heads, rate=rate, deterministic=deterministic,
+        interpret=interpret)
+    return out
+
+
+def _vjp_ln_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
+                num_heads, rate, deterministic, interpret):
+    out, q, k, v, o, z = _fwd_ln_impl(
+        x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
+        num_heads=num_heads, rate=rate, deterministic=deterministic,
+        interpret=interpret)
+    b, s, h = x.shape
+    d = h // num_heads
+    dp = _round_up(d, 128)
+    packed = (_pack_in(wq, num_heads, d, dp), _pack_in(wk, num_heads, d, dp),
+              _pack_in(wv, num_heads, d, dp), _pack_out(wo, num_heads, d, dp))
+    if mask is None:
+        mask = jnp.ones((b, s), jnp.int32)
+    return out, (x, q, k, v, o, z, packed, gamma, mask, seed)
+
+
+def _vjp_ln_bwd(num_heads, rate, deterministic, interpret, residuals, g):
+    x, q, k, v, o, z, packed, gamma, mask, seed = residuals
+    b, s, h = x.shape
+    d = h // num_heads
+    dp = _round_up(d, 128)
+    scale = 1.0 / (d ** 0.5)
+    (dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dgamma,
+     dbeta) = _bwd_ln_impl(
+        g, x, q, k, v, o, z, packed, gamma, mask, seed,
+        num_heads=num_heads, dp=dp, scale=scale, rate=rate,
+        deterministic=deterministic, interpret=interpret)
+
+    def uin(w, ref):
+        return _unpack_in(w, num_heads, d, dp).reshape(h, h).astype(ref.dtype)
+
+    def ub(bb, ref):
+        return _unpack_bias(bb.reshape(1, num_heads * dp), num_heads, d,
+                            dp).astype(ref.dtype)
+
+    dseed = np.zeros((1,), jax.dtypes.float0)
+    return (dx, uin(dwq, x), ub(dbq, x), uin(dwk, x), ub(dbk, x),
+            uin(dwv, x), ub(dbv, x),
+            _unpack_out(dwo, num_heads, d, dp).astype(x.dtype),
+            dbo.reshape(h).astype(x.dtype),
+            dgamma.reshape(h).astype(gamma.dtype),
+            dbeta.reshape(h).astype(gamma.dtype), None, dseed)
+
+
+fused_attention_block_ln.defvjp(_vjp_ln_fwd, _vjp_ln_bwd)
 
 
 def can_use_fused_attention_block(x: jax.Array, num_heads: int) -> bool:

@@ -62,7 +62,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_ffn", "can_use_fused_ffn"]
+__all__ = ["fused_ffn", "fused_ffn_ln", "can_use_fused_ffn"]
+
+_LN_EPS = 1e-6   # flax nn.LayerNorm default (the XLA path's epsilon)
 
 _VMEM_LIMIT = 100 * 1024 * 1024  # measured physical VMEM on v5e: 128 MB
 
@@ -287,6 +289,296 @@ def _vjp_bwd(rate, deterministic, interpret, residuals, g):
 
 
 fused_ffn.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# -- LN-epilogue variant: LayerNorm(x + dropout(ffn(x))) --------------------------
+#
+# Folds the ENTIRE torch post-LN FFN half-layer —
+#
+#     y   = dropout(relu(x @ W1 + b1)) @ W2 + b2     (inner dropout)
+#     out = LayerNorm(x + dropout(y))                (outer dropout + norm2)
+#
+# — into the same one-forward/one-backward kernel pair.  This removes the
+# remaining per-layer XLA glue after the round-2 kernels: the [R, H] outer
+# dropout mask generation, the residual add, and the LayerNorm each
+# round-tripped the [R, H] activation through HBM (~3 reads + 2 writes at
+# bench geometry ≈ 1.1 GB/layer) and are now VMEM-resident epilogue math.
+#
+# Residual strategy: the backward needs the LN input; we store it as ``z``
+# in the input dtype and recompute mean/rstd from the STORED (rounded)
+# value in both passes, so forward and backward see bit-identical
+# statistics — and the information content matches the XLA path exactly
+# (there the residual add produces a bf16 tensor before LN too).
+#
+# Dropout replay: the inner mask still needs no RNG in the backward
+# (recovered from h_d); the OUTER mask cannot be recovered from stored
+# tensors, so the backward replays it — ``pltpu.prng_seed(seed2 + i)`` with
+# the same per-block seed and draw shape reproduces the forward's bits
+# exactly (the on-core PRNG is deterministic per seed).  ``seed`` is [2]
+# int32: stream 0 = inner mask, stream 1 = outer mask.
+
+
+def _ln_fwd_math(x32, y32, gamma_ref, beta_ref, z_ref):
+    """Shared epilogue: z = x + y (stored rounded), LN(z) in fp32."""
+    z = (x32 + y32).astype(z_ref.dtype)
+    z_ref[:] = z
+    zz = z.astype(jnp.float32)
+    mu = jnp.mean(zz, axis=-1, keepdims=True)
+    var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = (zz - mu) * rstd
+    return xhat * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+
+
+def _ln_bwd_math(g32, z, gamma_ref):
+    """LN VJP from the stored z: returns (dz [BR,H], dgamma_c, dbeta_c)."""
+    hdim = z.shape[-1]
+    zz = z.astype(jnp.float32)
+    mu = jnp.mean(zz, axis=-1, keepdims=True)
+    var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = (zz - mu) * rstd
+    gg = g32 * gamma_ref[:].astype(jnp.float32)
+    m1 = jnp.sum(gg, axis=-1, keepdims=True) / hdim
+    m2 = jnp.sum(gg * xhat, axis=-1, keepdims=True) / hdim
+    dz = rstd * (gg - m1 - xhat * m2)
+    dgamma_c = jnp.sum(g32 * xhat, axis=0, keepdims=True)
+    dbeta_c = jnp.sum(g32, axis=0, keepdims=True)
+    return dz, dgamma_c, dbeta_c
+
+
+def _fwd_ln_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   gamma_ref, beta_ref, out_ref, hd_ref, z_ref, *,
+                   keep_threshold: int, inv_keep: float, apply_dropout: bool):
+    x = x_ref[:]
+    h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    h = jnp.maximum(h, 0.0)
+    if apply_dropout:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
+        h = jnp.where(bits < jnp.uint32(keep_threshold), h * inv_keep, 0.0)
+    hd = h.astype(hd_ref.dtype)
+    hd_ref[:] = hd
+    y = jnp.dot(hd, w2_ref[:], preferred_element_type=jnp.float32)
+    y = y + b2_ref[:].astype(jnp.float32)
+    if apply_dropout:
+        pltpu.prng_seed(seed_ref[1] + pl.program_id(0))
+        obits = pltpu.bitcast(pltpu.prng_random_bits(y.shape), jnp.uint32)
+        y = jnp.where(obits < jnp.uint32(keep_threshold), y * inv_keep, 0.0)
+    out = _ln_fwd_math(x.astype(jnp.float32), y, gamma_ref, beta_ref, z_ref)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _fwd_ln_impl(x, w1, b1, w2, b2, gamma, beta, seed, *, rate: float,
+                 deterministic: bool, interpret: bool):
+    r, hdim = x.shape
+    fdim = w1.shape[1]
+    block = _pick_block(r)
+    rp = pl.cdiv(r, block) * block
+    xp = _pad_rows(x, rp)
+    apply_dropout = (not deterministic) and rate > 0.0
+    keep_prob = 1.0 - rate
+    kernel = functools.partial(
+        _fwd_ln_kernel,
+        keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
+        inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
+        apply_dropout=apply_dropout)
+    row = lambda i, s: (i, 0)
+    const = lambda i, s: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rp // block,),
+        in_specs=[
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, fdim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fdim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fdim, hdim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, fdim), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),
+        ),
+    )
+    out, hd, z = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((rp, hdim), x.dtype),
+                   jax.ShapeDtypeStruct((rp, fdim), x.dtype),
+                   jax.ShapeDtypeStruct((rp, hdim), x.dtype)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rp * hdim * fdim,
+            bytes_accessed=(rp * hdim * 3 + rp * fdim + 2 * hdim * fdim)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seed, xp, w1, b1.reshape(1, fdim), w2, b2.reshape(1, hdim),
+      gamma.reshape(1, hdim), beta.reshape(1, hdim))
+    return out[:r] if rp != r else out, hd, z
+
+
+def _bwd_ln_kernel(seed_ref, x_ref, g_ref, hd_ref, z_ref, w1_ref, w2_ref,
+                   gamma_ref,
+                   dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                   dgamma_ref, dbeta_ref, *, inv_keep: float,
+                   keep_threshold: int, apply_dropout: bool):
+    i = pl.program_id(0)
+    g32 = g_ref[:].astype(jnp.float32)                        # [BR, H]
+    dz, dgamma_c, dbeta_c = _ln_bwd_math(g32, z_ref[:], gamma_ref)
+
+    # Outer-dropout mask replay (stream 1, same per-block seed as forward).
+    dy = dz
+    if apply_dropout:
+        pltpu.prng_seed(seed_ref[1] + i)
+        obits = pltpu.bitcast(pltpu.prng_random_bits(dz.shape), jnp.uint32)
+        dy = jnp.where(obits < jnp.uint32(keep_threshold), dz * inv_keep, 0.0)
+
+    hd = hd_ref[:]                                            # [BR, F]
+    dy_b = dy.astype(g_ref.dtype)
+    dh = jax.lax.dot_general(dy_b, w2_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s = (hd.astype(jnp.float32) > 0).astype(jnp.float32) * inv_keep
+    dh = dh * s
+    dh_b = dh.astype(g_ref.dtype)
+    dx = dz + jax.lax.dot_general(dh_b, w1_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    dw1_c = jax.lax.dot_general(x_ref[:], dh_b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dw2_c = jax.lax.dot_general(hd, dy_b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    db1_c = jnp.sum(dh, axis=0, keepdims=True)
+    db2_c = jnp.sum(dy, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:] = dw1_c
+        dw2_ref[:] = dw2_c
+        db1_ref[:] = db1_c
+        db2_ref[:] = db2_c
+        dgamma_ref[:] = dgamma_c
+        dbeta_ref[:] = dbeta_c
+
+    @pl.when(i > 0)
+    def _():
+        dw1_ref[:] += dw1_c
+        dw2_ref[:] += dw2_c
+        db1_ref[:] += db1_c
+        db2_ref[:] += db2_c
+        dgamma_ref[:] += dgamma_c
+        dbeta_ref[:] += dbeta_c
+
+
+def _bwd_ln_impl(xp, w1, w2, gamma, hd, z, g, seed, *, rate: float,
+                 deterministic: bool, interpret: bool):
+    rp, hdim = xp.shape
+    fdim = w1.shape[1]
+    block = _pick_block(rp)
+    assert rp % block == 0, (rp, block)
+    apply_dropout = (not deterministic) and rate > 0.0
+    keep_prob = 1.0 - rate
+    kernel = functools.partial(
+        _bwd_ln_kernel,
+        inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
+        keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
+        apply_dropout=apply_dropout)
+    row = lambda i, s: (i, 0)
+    const = lambda i, s: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rp // block,),
+        in_specs=[
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),   # g
+            pl.BlockSpec((block, fdim), row, memory_space=pltpu.VMEM),   # h_d
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),   # z
+            pl.BlockSpec((hdim, fdim), const, memory_space=pltpu.VMEM),  # W1
+            pl.BlockSpec((fdim, hdim), const, memory_space=pltpu.VMEM),  # W2
+            pl.BlockSpec((1, hdim), const, memory_space=pltpu.VMEM),     # gamma
+        ],
+        out_specs=(
+            pl.BlockSpec((block, hdim), row, memory_space=pltpu.VMEM),   # dx
+            pl.BlockSpec((hdim, fdim), const, memory_space=pltpu.VMEM),  # dW1
+            pl.BlockSpec((1, fdim), const, memory_space=pltpu.VMEM),     # db1
+            pl.BlockSpec((fdim, hdim), const, memory_space=pltpu.VMEM),  # dW2
+            pl.BlockSpec((1, hdim), const, memory_space=pltpu.VMEM),     # db2
+            pl.BlockSpec((1, hdim), const, memory_space=pltpu.VMEM),     # dgamma
+            pl.BlockSpec((1, hdim), const, memory_space=pltpu.VMEM),     # dbeta
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, hdim), g.dtype),
+            jax.ShapeDtypeStruct((hdim, fdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, fdim), jnp.float32),
+            jax.ShapeDtypeStruct((fdim, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, hdim), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rp * hdim * fdim,
+            bytes_accessed=(4 * rp * hdim + rp * fdim) * g.dtype.itemsize
+            + 2 * hdim * fdim * (g.dtype.itemsize + 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seed, xp, g, hd, z, w1, w2, gamma.reshape(1, hdim))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_ffn_ln(x, w1, b1, w2, b2, gamma, beta, seed, rate: float = 0.1,
+                 deterministic: bool = True, interpret: bool = False):
+    """Fused FFN half-layer: ``LayerNorm(x + dropout(ffn(x)))``.
+
+    The complete torch post-LN FFN block of ``TorchEncoderLayer``
+    (10_FAME.py:214 semantics): inner dropout after the ReLU, outer dropout
+    on the FFN output, residual add, LayerNorm (eps 1e-6 = the flax XLA
+    path's default).  ``seed`` is [2] int32 (inner/outer streams); both
+    ignored when deterministic.  Returns [R, H] in ``x.dtype``.
+    """
+    out, _, _ = _fwd_ln_impl(x, w1, b1, w2, b2, gamma, beta, seed,
+                             rate=rate, deterministic=deterministic,
+                             interpret=interpret)
+    return out
+
+
+def _vjp_ln_fwd(x, w1, b1, w2, b2, gamma, beta, seed, rate, deterministic,
+                interpret):
+    out, hd, z = _fwd_ln_impl(x, w1, b1, w2, b2, gamma, beta, seed,
+                              rate=rate, deterministic=deterministic,
+                              interpret=interpret)
+    block = _pick_block(x.shape[0])
+    xp = _pad_rows(x, pl.cdiv(x.shape[0], block) * block)
+    return out, (xp, w1, w2, gamma, hd, z, seed)
+
+
+def _vjp_ln_bwd(rate, deterministic, interpret, residuals, g):
+    xp, w1, w2, gamma, hd, z, seed = residuals
+    r = g.shape[0]
+    gp = _pad_rows(g, xp.shape[0])
+    dx, dw1, db1, dw2, db2, dgamma, dbeta = _bwd_ln_impl(
+        xp, w1, w2, gamma, hd, z, gp, seed, rate=rate,
+        deterministic=deterministic, interpret=interpret)
+    dseed = np.zeros((2,), jax.dtypes.float0)
+    return (dx[:r] if xp.shape[0] != r else dx,
+            dw1.astype(w1.dtype), db1.reshape(-1).astype(w1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(-1).astype(w2.dtype),
+            dgamma.reshape(-1).astype(gamma.dtype),
+            dbeta.reshape(-1).astype(gamma.dtype), dseed)
+
+
+fused_ffn_ln.defvjp(_vjp_ln_fwd, _vjp_ln_bwd)
 
 
 def can_use_fused_ffn(x: jax.Array, hdim: int, fdim: int) -> bool:

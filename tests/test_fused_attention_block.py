@@ -106,3 +106,174 @@ def test_encoder_layer_attn_paths_identical():
                                    atol=5e-4, err_msg=str(path))
 
     jax.tree_util.tree_map_with_path(check, g1, g2)
+
+
+# -- LN-epilogue variant (fused_attention_block_ln) ---------------------------
+
+
+def _ln_params(seed=11):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.normal(1, 0.1, H), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.1, H), jnp.float32))
+
+
+def _ref_block_ln(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask,
+                  eps=1e-6):
+    z = (x + _ref_block(x, wq, bq, wk, bk, wv, bv, wo, bo, mask)).astype(x.dtype)
+    zz = z.astype(jnp.float32)
+    mu = jnp.mean(zz, axis=-1, keepdims=True)
+    var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
+    xhat = (zz - mu) * jax.lax.rsqrt(var + eps)
+    return xhat * gamma + beta
+
+
+def test_ln_forward_parity():
+    from fairmultimodal_tpu.ops.fused_attention_block import (
+        fused_attention_block_ln,
+    )
+
+    x, w = _x(6), _weights(7)
+    gamma, beta = _ln_params()
+    mask = jnp.ones((B, S), jnp.int32).at[:, -5:].set(0)
+    out = fused_attention_block_ln(
+        x, w["wq"], w["bq"], w["wk"], w["bk"], w["wv"], w["bv"], w["wo"],
+        w["bo"], gamma, beta, mask, jnp.zeros(1, jnp.int32), NH, 0.1, True,
+        True)
+    ref = _ref_block_ln(x, w["wq"], w["bq"], w["wk"], w["bk"], w["wv"],
+                        w["bv"], w["wo"], w["bo"], gamma, beta, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ln_grads_match_autodiff():
+    from fairmultimodal_tpu.ops.fused_attention_block import (
+        fused_attention_block_ln,
+    )
+
+    x, w = _x(8), _weights(9)
+    gamma, beta = _ln_params(12)
+    mask = jnp.ones((B, S), jnp.int32).at[:, -3:].set(0)
+    names = ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo")
+    seed = jnp.zeros(1, jnp.int32)
+
+    def loss_f(x, args, gamma, beta):
+        return jnp.sum(jnp.sin(fused_attention_block_ln(
+            x, *args, gamma, beta, mask, seed, NH, 0.1, True, True)))
+
+    def loss_r(x, args, gamma, beta):
+        return jnp.sum(jnp.sin(_ref_block_ln(x, *args, gamma, beta, mask)))
+
+    args = tuple(w[n] for n in names)
+    gx_f, gw_f, gg_f, gb_f = jax.grad(loss_f, argnums=(0, 1, 2, 3))(
+        x, args, gamma, beta)
+    gx_r, gw_r, gg_r, gb_r = jax.grad(loss_r, argnums=(0, 1, 2, 3))(
+        x, args, gamma, beta)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=5e-5, atol=5e-5, err_msg="dx")
+    for n, a, b in zip(names, gw_f, gw_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5,
+                                   atol=5e-4, err_msg=n)
+    np.testing.assert_allclose(np.asarray(gg_f), np.asarray(gg_r), rtol=5e-5,
+                               atol=5e-4, err_msg="dgamma")
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r), rtol=5e-5,
+                               atol=5e-4, err_msg="dbeta")
+
+
+def test_encoder_layer_full_fold_identical():
+    """Both kernels + fold vs the pure-XLA layer: same params, same
+    deterministic output, matching grads — the whole layer is two Pallas
+    calls in the fold path."""
+    from fairmultimodal_tpu.models.behrt import TorchEncoderLayer
+
+    x = jnp.asarray(np.random.default_rng(13).normal(0, 1, (2, 32, 256)),
+                    jnp.float32)
+    mask = jnp.ones((2, 32), jnp.int32).at[:, -7:].set(0)
+    m_ref = TorchEncoderLayer(256, 4, ffn_size=384, attn_kernel=False,
+                              ffn_kernel=False)
+    m_fold = TorchEncoderLayer(256, 4, ffn_size=384, attn_kernel=True,
+                               ffn_kernel=True, fold_ln=True)
+    p = m_ref.init(jax.random.PRNGKey(5), x, mask)["params"]
+    p2 = m_fold.init(jax.random.PRNGKey(5), x, mask)["params"]
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: bool((a == b).all()), p, p2))
+
+    y1 = m_ref.apply({"params": p}, x, mask)
+    y2 = m_fold.apply({"params": p}, x, mask)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5,
+                               atol=2e-5)
+
+    g1 = jax.grad(lambda q: jnp.sum(jnp.sin(m_ref.apply({"params": q}, x,
+                                                        mask))))(p)
+    g2 = jax.grad(lambda q: jnp.sum(jnp.sin(m_fold.apply({"params": q}, x,
+                                                         mask))))(p)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5,
+                                   atol=5e-4, err_msg=str(path))
+
+    jax.tree_util.tree_map_with_path(check, g1, g2)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="dropout branch uses TPU PRNG primitives")
+def test_ln_outer_dropout_replay_tpu():
+    """Same-seed determinism + backward mask replay for the attention LN
+    epilogue, via an XLA reference built with the recovered mask."""
+    from fairmultimodal_tpu.ops.fused_attention_block import (
+        _fwd_ln_impl,
+        fused_attention_block_ln,
+    )
+
+    x, w = _x(14), _weights(15)
+    gamma, beta = _ln_params(16)
+    mask = jnp.ones((B, S), jnp.int32)
+    seed = jnp.asarray([23], jnp.int32)
+    rate = 0.3
+    names = ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo")
+    args = tuple(w[n] for n in names)
+
+    out1, _, _, _, _, z = _fwd_ln_impl(x, *args, gamma, beta, mask, seed,
+                                       num_heads=NH, rate=rate,
+                                       deterministic=False, interpret=False)
+    out2, _, _, _, _, _ = _fwd_ln_impl(x, *args, gamma, beta, mask, seed,
+                                       num_heads=NH, rate=rate,
+                                       deterministic=False, interpret=False)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    z = np.asarray(z)
+    attn = np.asarray(_ref_block(x, *args, mask=mask))
+    kept = (z - np.asarray(x)) != 0
+    inv_keep = 1.0 / (1.0 - rate)
+    # Coarse tolerance: XLA-path vs in-kernel MXU precision — this check
+    # classifies kept-vs-dropped, not matmul ulps.
+    np.testing.assert_allclose((z - np.asarray(x))[kept],
+                               (attn * inv_keep)[kept], rtol=3e-2, atol=3e-2)
+
+    def ref_with_mask(x, args, gamma, beta):
+        y = _ref_block(x, *args, mask=mask)
+        y = jnp.where(jnp.asarray(kept), y * inv_keep, 0.0)
+        zz = (x + y).astype(jnp.float32)
+        mu = jnp.mean(zz, axis=-1, keepdims=True)
+        var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
+        return ((zz - mu) * jax.lax.rsqrt(var + 1e-6)) * gamma + beta
+
+    gf = jax.grad(lambda xx, aa, gg, bb: jnp.sum(jnp.sin(
+        fused_attention_block_ln(xx, *aa, gg, bb, mask, seed, NH, rate,
+                                 False, False))), argnums=(0, 1, 2, 3))(
+        x, args, gamma, beta)
+    gr = jax.grad(lambda xx, aa, gg, bb: jnp.sum(jnp.sin(
+        ref_with_mask(xx, aa, gg, bb))), argnums=(0, 1, 2, 3))(
+        x, args, gamma, beta)
+    # Tolerance is set by fp32-on-MXU default precision (bf16 passes) with
+    # different contraction orders on the two sides (measured ≤0.8% of
+    # elements at ≤3e-3 abs).  A replay bug (one flipped mask bit) perturbs
+    # grads by O(0.1-1).  Exact bwd math is pinned by the CPU interpret tests.
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               rtol=5e-3, atol=3e-2, err_msg="dx")
+    for n, a, b in zip(names, gf[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=3e-2, err_msg=n)
+    np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gr[2]),
+                               rtol=5e-3, atol=3e-2, err_msg="dgamma")
+    np.testing.assert_allclose(np.asarray(gf[3]), np.asarray(gr[3]),
+                               rtol=5e-3, atol=3e-2, err_msg="dbeta")

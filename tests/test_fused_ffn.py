@@ -143,13 +143,162 @@ def test_dropout_statistics_tpu():
                         rate=rate, deterministic=False, interpret=False)
     h = np.maximum(np.asarray(x) @ np.asarray(w1) + np.asarray(b1), 0.0)
     hd = np.asarray(hd)
-    alive = h > 1e-6
+    alive = h > 1e-3
     drop_frac = float((hd[alive] == 0).mean())
     assert abs(drop_frac - rate) < 0.02
-    # Kept entries are scaled by exactly 1/keep.
-    kept = alive & (hd > 0)
-    np.testing.assert_allclose(hd[kept], h[kept] / (1 - rate), rtol=1e-2)
-    # out is exactly hd @ w2 + b2.
+    # Kept entries are scaled by 1/keep.  The numpy fp32 h differs from the
+    # kernel's fp32-on-MXU h by default-matmul precision (bf16 passes): the
+    # error is ABSOLUTE in the scale of the pre-cancellation sum (measured
+    # ≤0.017 here), so small h entries show large relative error.  The check
+    # classifies the scaling — a kept/dropped misclassification at h > 0.2
+    # gives |diff| = h/keep ≥ 0.4, far above these tolerances.
+    kept = (h > 0.2) & (hd > 0)
+    np.testing.assert_allclose(hd[kept], h[kept] / (1 - rate), rtol=1e-2,
+                               atol=5e-2)
+    # out is hd @ w2 + b2 (same MXU-vs-numpy precision caveat).
     np.testing.assert_allclose(
         np.asarray(out), hd[:512] @ np.asarray(w2) + np.asarray(b2),
-        rtol=1e-4, atol=1e-4)
+        rtol=3e-2, atol=3e-2)
+
+
+# -- LN-epilogue variant (fused_ffn_ln) ---------------------------------------
+
+
+def _ref_ln(x, w1, b1, w2, b2, gamma, beta, eps=1e-6):
+    """XLA reference for LayerNorm(x + ffn(x)), dropout off, with the
+    kernel's residual contract: stats from the dtype-rounded z."""
+    z = (x + _ref(x, w1, b1, w2, b2)).astype(x.dtype)
+    zz = z.astype(jnp.float32)
+    mu = jnp.mean(zz, axis=-1, keepdims=True)
+    var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
+    xhat = (zz - mu) * jax.lax.rsqrt(var + eps)
+    return xhat * gamma + beta
+
+
+def _ln_params(seed=7):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.normal(1, 0.1, H), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.1, H), jnp.float32))
+
+
+def test_ln_forward_parity_deterministic():
+    from fairmultimodal_tpu.ops.fused_ffn import fused_ffn_ln
+
+    x, w1, b1, w2, b2 = _inputs(2)
+    gamma, beta = _ln_params()
+    out = fused_ffn_ln(x, w1, b1, w2, b2, gamma, beta,
+                       jnp.zeros(2, jnp.int32), 0.1, True, True)
+    ref = _ref_ln(x, w1, b1, w2, b2, gamma, beta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ln_all_seven_grads_match_autodiff():
+    from fairmultimodal_tpu.ops.fused_ffn import fused_ffn_ln
+
+    x, w1, b1, w2, b2 = _inputs(3)
+    gamma, beta = _ln_params(8)
+    seed = jnp.zeros(2, jnp.int32)
+
+    def loss_f(args):
+        return jnp.sum(jnp.sin(fused_ffn_ln(*args, seed, 0.1, True, True)))
+
+    def loss_r(args):
+        return jnp.sum(jnp.sin(_ref_ln(*args)))
+
+    gf = jax.grad(loss_f)((x, w1, b1, w2, b2, gamma, beta))
+    gr = jax.grad(loss_r)((x, w1, b1, w2, b2, gamma, beta))
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2", "dgamma",
+                           "dbeta"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5,
+                                   atol=5e-4, err_msg=name)
+
+
+def test_encoder_layer_ffn_fold_paths_identical():
+    """fold_ln=True/False on TorchEncoderLayer with the FFN kernel forced:
+    same params, same deterministic output, matching grads."""
+    from fairmultimodal_tpu.models.behrt import TorchEncoderLayer
+
+    x = jnp.asarray(np.random.default_rng(9).normal(0, 1, (2, 16, 256)),
+                    jnp.float32)
+    m_ref = TorchEncoderLayer(256, 4, ffn_size=384, ffn_kernel=True,
+                              attn_kernel=False, fold_ln=False)
+    m_fold = TorchEncoderLayer(256, 4, ffn_size=384, ffn_kernel=True,
+                               attn_kernel=False, fold_ln=True)
+    p = m_ref.init(jax.random.PRNGKey(3), x)["params"]
+    p2 = m_fold.init(jax.random.PRNGKey(3), x)["params"]
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: bool((a == b).all()), p, p2))
+
+    y1 = m_ref.apply({"params": p}, x)
+    y2 = m_fold.apply({"params": p}, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5,
+                               atol=2e-5)
+
+    g1 = jax.grad(lambda q: jnp.sum(jnp.sin(m_ref.apply({"params": q}, x))))(p)
+    g2 = jax.grad(lambda q: jnp.sum(jnp.sin(m_fold.apply({"params": q}, x))))(p)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5,
+                                   atol=5e-4, err_msg=str(path))
+
+    jax.tree_util.tree_map_with_path(check, g1, g2)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="dropout branch uses TPU PRNG primitives")
+def test_ln_outer_dropout_replay_tpu():
+    """Train-mode fused_ffn_ln: (a) same seed -> bit-identical output,
+    (b) the backward's outer-mask REPLAY reproduces the forward's mask —
+    kernel grads must equal jax.grad of an XLA reference built with the
+    masks recovered from the stored residuals."""
+    from fairmultimodal_tpu.ops.fused_ffn import _fwd_ln_impl, fused_ffn_ln
+
+    x, w1, b1, w2, b2 = _inputs(6, r=512)
+    gamma, beta = _ln_params(9)
+    seed = jnp.asarray([11, 17], jnp.int32)
+    rate = 0.3
+
+    out1, hd, z = _fwd_ln_impl(x, w1, b1, w2, b2, gamma, beta, seed,
+                               rate=rate, deterministic=False,
+                               interpret=False)
+    out2, _, _ = _fwd_ln_impl(x, w1, b1, w2, b2, gamma, beta, seed,
+                              rate=rate, deterministic=False,
+                              interpret=False)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # Recover both masks from the stored residuals.
+    hd = np.asarray(hd)                        # post-inner-dropout activation
+    z = np.asarray(z)
+    y_full = hd @ np.asarray(w2) + np.asarray(b2)
+    outer_kept = (z - np.asarray(x)) != 0      # dropped rows: z == x exactly
+    inv_keep = 1.0 / (1.0 - rate)
+    # Coarse tolerance: numpy fp32 vs MXU default-precision matmul — this
+    # check classifies kept-vs-dropped, not matmul ulps.
+    np.testing.assert_allclose((z - np.asarray(x))[outer_kept],
+                               (y_full * inv_keep)[outer_kept], rtol=3e-2,
+                               atol=3e-2)
+
+    def ref_with_masks(x, w1, b1, w2, b2, gamma, beta):
+        h = jnp.maximum(x @ w1 + b1, 0.0)
+        h = jnp.where(jnp.asarray(hd) > 0, h * inv_keep, 0.0)
+        y = h @ w2 + b2
+        y = jnp.where(jnp.asarray(outer_kept), y * inv_keep, 0.0)
+        zz = (x + y).astype(jnp.float32)
+        mu = jnp.mean(zz, axis=-1, keepdims=True)
+        var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
+        return ((zz - mu) * jax.lax.rsqrt(var + 1e-6)) * gamma + beta
+
+    args = (x, w1, b1, w2, b2, gamma, beta)
+    gf = jax.grad(lambda a: jnp.sum(jnp.sin(
+        fused_ffn_ln(*a, seed, rate, False, False))))(args)
+    gr = jax.grad(lambda a: jnp.sum(jnp.sin(ref_with_masks(*a))))(args)
+    # Tolerance is set by fp32-on-MXU default precision (bf16 passes) with
+    # different contraction orders on the two sides, measured ~1e-3 relative
+    # on O(10) grads.  A replay bug (one flipped mask bit) perturbs grads by
+    # O(0.1-1) — still two orders above this bound.  The exact bwd math is
+    # pinned by the CPU interpret-mode tests above.
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2", "dgamma",
+                           "dbeta"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=3e-2, err_msg=name)
