@@ -70,6 +70,12 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
                         "(549 = reference geometry, 10_FAME NUM_LAB_FEATURES)")
     p.add_argument("--synthetic_chunks", type=int, default=3,
                    help="note-chunk columns in the synthetic cohort")
+    p.add_argument("--mesh", default=None, metavar="DATA[xMODEL]",
+                   help="train over a jax device mesh (fame/fpm): '8' = "
+                        "8-way pure data parallelism (shard_map path; Pallas "
+                        "kernels stay enabled per shard), '4x2' = 4-way data "
+                        "x 2-way tensor parallelism (GSPMD; on real TPU set "
+                        "FMTPU_KERNELS=0 to use the XLA layer path)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny geometry for CPU smoke runs")
@@ -169,12 +175,29 @@ def _report_task_focus(out, args) -> int:
                 print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}")
     return 0
 
+def _build_mesh(args):
+    """--mesh 'DATA[xMODEL]' -> jax Mesh (validated against live devices)."""
+    if not getattr(args, "mesh", None):
+        return None
+    from fairmultimodal_tpu.parallel import get_mesh
+
+    parts = str(args.mesh).lower().split("x")
+    try:
+        data = int(parts[0])
+        model = int(parts[1]) if len(parts) > 1 else 1
+    except ValueError:
+        raise SystemExit(f"--mesh {args.mesh!r}: expected 'N' or 'NxM'")
+    return get_mesh(data=data, model=model)
+
+
 def run_pipeline(args) -> int:
     verbose = not args.quiet
     name = args.pipeline
     if getattr(args, "single_task", False) and name not in _SINGLE_TASK_PIPELINES:
         raise SystemExit(f"--single_task is not supported by {name!r} "
                          f"(supported: {', '.join(_SINGLE_TASK_PIPELINES)})")
+    if getattr(args, "mesh", None) and name not in ("fame", "fpm"):
+        raise SystemExit("--mesh is supported for fame/fpm only")
 
     if name == "legacy-behrt":
         # Sequence BEHRT (FinalCode/New/02_BEHRT.py) — structured-only, its
@@ -285,7 +308,8 @@ def run_pipeline(args) -> int:
                                  head=args.head or (1000 if name == "fpm" else None),
                                  reference_compat=args.reference_compat,
                                  require_hf_weights=args.require_hf_weights,
-                                 timing=args.timing)
+                                 timing=args.timing,
+                                 mesh=_build_mesh(args))
         if args.tiny:
             cfg.hidden_size, cfg.demo_layers, cfg.demo_heads = 64, 1, 2
             cfg.lab_layers, cfg.lab_heads, cfg.fusion_hidden = 1, 2, 32

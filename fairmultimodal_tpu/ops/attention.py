@@ -16,6 +16,7 @@ fp32 softmax accumulation regardless of input dtype.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -50,6 +51,12 @@ def attention_reference(
 
 def _can_use_pallas(q: jax.Array) -> bool:
     if jax.default_backend() not in ("tpu",):
+        return False
+    if os.environ.get("FMTPU_KERNELS", "1") == "0":
+        # Force the XLA path — required when attention runs under a mixed
+        # data x model (TP) mesh on real TPU, where GSPMD cannot partition
+        # Mosaic custom calls (pure-DP meshes use shard_map instead and keep
+        # the kernels; see train/loop.py).
         return False
     b, h, s, d = q.shape
     # Whole-S blocks are legal whenever the sublane tile divides S (16 covers

@@ -54,6 +54,7 @@ PARITY.md).
 
 from __future__ import annotations
 
+import os
 import functools
 from typing import Optional, Tuple
 
@@ -894,6 +895,10 @@ fused_attention_block_ln.defvjp(_vjp_ln_fwd, _vjp_ln_bwd)
 def can_use_fused_attention_block(x: jax.Array, num_heads: int) -> bool:
     """Gate: TPU backend, whole-S VMEM residency legal, tile-aligned dims."""
     if jax.default_backend() != "tpu":
+        return False
+    if os.environ.get("FMTPU_KERNELS", "1") == "0":
+        # XLA layer path, e.g. under a mixed data x model (TP) mesh where
+        # GSPMD cannot partition Mosaic custom calls (see train/loop.py).
         return False
     if x.dtype not in (jnp.bfloat16, jnp.float32):
         return False

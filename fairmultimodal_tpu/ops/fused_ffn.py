@@ -53,6 +53,7 @@ path; deterministic/eval outputs are bitwise-independent of the choice.
 
 from __future__ import annotations
 
+import os
 import functools
 from typing import Tuple
 
@@ -588,6 +589,10 @@ def can_use_fused_ffn(x: jax.Array, hdim: int, fdim: int) -> bool:
     accumulators on natural MXU/VPU tiles; rows are padded internally.
     """
     if jax.default_backend() != "tpu":
+        return False
+    if os.environ.get("FMTPU_KERNELS", "1") == "0":
+        # XLA layer path, e.g. under a mixed data x model (TP) mesh where
+        # GSPMD cannot partition Mosaic custom calls (see train/loop.py).
         return False
     if x.dtype not in (jnp.bfloat16, jnp.float32):
         return False

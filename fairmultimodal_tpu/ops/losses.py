@@ -27,6 +27,7 @@ def bce_with_logits(
     pos_weight: Optional[jax.Array] = None,
     weight: Optional[jax.Array] = None,
     reduction: str = "mean",
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Stable binary cross-entropy with logits.
 
@@ -39,6 +40,10 @@ def bce_with_logits(
         on the positive term.
       weight: optional per-sample validity mask ([B] or [B,1]); masked-mean
         reduction uses its sum as denominator so padded rows are exact no-ops.
+      axis_name: optional mapped axis (``shard_map`` data parallelism) —
+        mean reductions psum both numerator and denominator, so the result
+        is the GLOBAL masked mean on every shard and its gradient composes
+        with a per-shard ``psum(grads)`` into the exact global gradient.
     """
     logits = logits.astype(jnp.float32)
     labels = labels.astype(jnp.float32)
@@ -48,16 +53,20 @@ def bce_with_logits(
     if pos_weight is not None:
         pos = pos_weight * pos
     loss = -(pos + (1.0 - labels) * log_not_p)
+
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
     if weight is not None:
         w = weight.reshape(weight.shape + (1,) * (loss.ndim - weight.ndim))
         loss = loss * w
         if reduction == "mean":
-            denom = jnp.maximum(jnp.sum(w) * (loss.size / w.size), 1.0)
-            return jnp.sum(loss) / denom
+            denom = jnp.maximum(_psum(jnp.sum(w)) * (loss.size / w.size), 1.0)
+            return _psum(jnp.sum(loss)) / denom
     if reduction == "mean":
-        return jnp.mean(loss)
+        return _psum(jnp.sum(loss)) / _psum(jnp.asarray(loss.size, jnp.float32))
     if reduction == "sum":
-        return jnp.sum(loss)
+        return _psum(jnp.sum(loss))
     return loss
 
 

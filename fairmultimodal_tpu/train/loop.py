@@ -157,19 +157,22 @@ class FAMETrainer:
 
     # -- jitted step functions -------------------------------------------------
 
-    def _loss_fn(self, params, batch, dyn_w, rng, train: bool):
+    def _loss_fn(self, params, batch, dyn_w, rng, train: bool,
+                 axis_name: Optional[str] = None):
         out = self.model.apply(
             {"params": params}, batch["model_inputs"], dynamic_weights=dyn_w,
             deterministic=not train, rngs={"dropout": rng} if train else None)
         logits = out["fused_logits"]
         labels = batch["labels"]
         w = batch["weight"]
-        bce = bce_with_logits(logits, labels, pos_weight=self.pos_weight, weight=w)
+        bce = bce_with_logits(logits, labels, pos_weight=self.pos_weight,
+                              weight=w, axis_name=axis_name)
         probs = jax.nn.sigmoid(logits)
         sens = [batch["model_inputs"]["age_ids"],
                 batch["model_inputs"]["ethnicity_ids"],
                 batch["model_inputs"]["insurance_ids"]]
-        leddi = eddi_loss(probs, labels, sens, GROUP_SIZES, weight=w)
+        leddi = eddi_loss(probs, labels, sens, GROUP_SIZES, weight=w,
+                          axis_name=axis_name)
         l1 = jnp.sum(jnp.abs(params["fusion"]["sig_weights"]))
         total = bce + self.config.lambda_edd * (10.0 * leddi) + self.config.lambda_l1 * l1
         return total, (bce, leddi, out)
@@ -177,16 +180,67 @@ class FAMETrainer:
     def _build_steps(self):
         cfg = self.config
 
+        # Pure-DP meshes (no model-axis sharding) compile every step through
+        # ``shard_map`` — manual SPMD over the "data" axis with explicit
+        # psums.  This is the ONLY mesh mode that can run the Pallas
+        # megakernels on real multi-chip TPU: Mosaic kernels cannot be
+        # auto-partitioned by GSPMD (jax tpu_custom_call refuses with
+        # "wrap the call in a shard_map"), which CPU-mesh tests never see
+        # because the kernels gate off non-TPU backends.  Mixed data x model
+        # (TP) meshes keep the GSPMD propagation path; on real TPU that mode
+        # requires the XLA layer path (FMTPU_KERNELS=0 — see ops gates).
+        dp = None
+        if self.mesh is not None:
+            shape = dict(self.mesh.shape)
+            if "data" in shape and shape.get("model", 1) == 1:
+                dp = "data"
+            if dp is not None and cfg.batch_size % shape["data"]:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} must be divisible by the "
+                    f"mesh's data axis ({shape['data']}) for the shard_map "
+                    f"data-parallel path")
+        self._dp_axis = dp
+
+        def local_train_loss(params, batch, dyn_w, rng):
+            if dp is not None:
+                # Decorrelate dropout across shards; the fold is part of the
+                # compiled step, so the host-side RNG protocol (one split per
+                # step, checkpointed stream) is identical to single-device.
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(dp))
+            total, (bce, leddi, _) = self._loss_fn(params, batch, dyn_w, rng,
+                                                   True, dp)
+            return total, (bce, leddi)
+
+        if dp is not None:
+            # shard_map wraps ONLY the loss; jax.value_and_grad differentiates
+            # through it from OUTSIDE.  Grad-inside-the-shard_map would be
+            # wrong here: with the loss psum'd to its global value, the psum
+            # transpose sums the per-shard cotangent seeds, inflating every
+            # gradient by exactly n_shards (measured 8x on the 8-device mesh;
+            # tests/test_parallel_dp.py::test_dp_grads_match_single_device).
+            # Differentiating the shard_map itself gives the exact global
+            # gradient of the global masked-mean loss, with the grad psums
+            # inserted by the transpose machinery; clip/AdamW then run on
+            # replicated trees at the jit level.
+            from jax.sharding import PartitionSpec as P
+
+            loss_for_grad = jax.shard_map(
+                local_train_loss, mesh=self.mesh,
+                in_specs=(P(), P("data"), P(), P()),
+                out_specs=(P(), (P(), P())))
+        else:
+            loss_for_grad = local_train_loss
+
         def train_step(params, opt_state, batch, dyn_w, rng):
-            (total, (bce, leddi, _)), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True)(params, batch, dyn_w, rng, True)
+            (total, (bce, leddi)), grads = jax.value_and_grad(
+                loss_for_grad, has_aux=True)(params, batch, dyn_w, rng)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, total, bce
 
         def eval_step(params, batch, dyn_w):
             total, (bce, leddi, out) = self._loss_fn(
-                params, batch, dyn_w, jax.random.PRNGKey(0), False)
+                params, batch, dyn_w, jax.random.PRNGKey(0), False, dp)
             return total, bce, out["fused_logits"]
 
         def modality_probs_step(params, batch, dyn_w):
@@ -219,15 +273,24 @@ class FAMETrainer:
                     jnp.float32) * w[:, None]                       # [B, G]
                 counts = jnp.sum(onehot, axis=0)                    # [G]
                 errors = jnp.einsum("bmt,bg->mtg", err, onehot)     # [M, T, G]
+                if dp is not None:
+                    # Exact small-integer sums in fp32 — the psum cannot
+                    # change them, so DP stats stay bit-identical to the
+                    # single-device pass.
+                    counts = jax.lax.psum(counts, dp)
+                    errors = jax.lax.psum(errors, dp)
                 stats.append((counts, errors))
             return tuple(stats)
 
-        if self.mesh is not None:
+        if self.mesh is not None and dp is None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             scan_batch_sharding = NamedSharding(self.mesh,
                                                 PartitionSpec("data"))
         else:
+            # Single device, or DP shard_map: in the latter each shard
+            # gathers only its own index columns (idx_mat arrives sharded
+            # [steps, B/n] per device) — no GSPMD constraint needed.
             scan_batch_sharding = None
 
         def dyn_stats_scan(params, data, labels_, idx_mat, valid_mat, dyn_w,
@@ -284,15 +347,41 @@ class FAMETrainer:
                                    dynamic_weights=dyn_w, deterministic=True)
             return out["fused_logits"], out["gated_vector"], out["fusion_pre_relu"]
 
-        # Under a mesh the batch leaves are device_put with a "data" sharding
-        # (see _put_batch); jit + GSPMD propagates shardings and inserts the
-        # gradient psums — no per-step code difference.
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self._eval_step = jax.jit(eval_step)
-        self._modality_step = jax.jit(modality_probs_step)
-        self._dyn_stats_step = jax.jit(dyn_stats_step)
-        self._dyn_stats_scan = jax.jit(dyn_stats_scan)
-        self._extract_step = jax.jit(extract_step)
+        if dp is not None:
+            # Manual SPMD: batch subtrees split on their leading axis over
+            # "data" (PartitionSpec prefixes extend with None), everything
+            # else replicated.  Per-row outputs reassemble to global arrays;
+            # scalars/stats leave psum'd, hence replicated on every shard.
+            from jax.sharding import PartitionSpec as P
+
+            B, R = P("data"), P()
+            sm = lambda f, i, o: jax.shard_map(f, mesh=self.mesh,
+                                               in_specs=i, out_specs=o)
+            # train_step already contains its shard_map (around the loss
+            # only, so grads are taken from outside — see loss_for_grad).
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(sm(eval_step, (R, B, R), (R, R, B)))
+            self._modality_step = jax.jit(sm(modality_probs_step,
+                                             (R, B, R), B))
+            self._dyn_stats_step = jax.jit(sm(dyn_stats_step,
+                                              (R, B, R, R), R))
+            # Parked arrays + labels stay replicated on every chip (the whole
+            # cohort is small); the [steps, B] index/valid matrices shard on
+            # the batch column so each chip gathers + scores its own rows.
+            scan_sm = sm(dyn_stats_scan,
+                         (R, R, R, P(None, "data"), P(None, "data"), R, R), R)
+            self._dyn_stats_scan = jax.jit(scan_sm)
+            self._extract_step = jax.jit(sm(extract_step, (R, B, R), (B, B, B)))
+        else:
+            # Single device, or mixed data x model mesh: batch leaves are
+            # device_put with a "data" sharding (see _put_batch); jit + GSPMD
+            # propagates shardings and inserts the gradient psums.
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(eval_step)
+            self._modality_step = jax.jit(modality_probs_step)
+            self._dyn_stats_step = jax.jit(dyn_stats_step)
+            self._dyn_stats_scan = jax.jit(dyn_stats_scan)
+            self._extract_step = jax.jit(extract_step)
 
     def _rng_data(self) -> np.ndarray:
         """Raw uint32 words of the dropout RNG stream (checkpointable)."""

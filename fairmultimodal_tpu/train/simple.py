@@ -161,28 +161,50 @@ class MultitaskTrainer:
                  if nb else 0.0)
         return params, opt_state, total / max(nb, 1)
 
-    def evaluate_loss(self, params, loader) -> float:
+    def _windowed_eval(self, loader, dispatch, drain, window: int = 8):
+        """Bounded-window eval drive (same pattern as FAMETrainer): keep
+        ``window`` eval dispatches in flight so the host only blocks on work
+        that is already ~window steps old — a blocking pull per batch costs
+        a tunnel round-trip (~33 ms) each; see CLAUDE.md."""
+        import collections
+
         from fairmultimodal_tpu.data.prefetch import PrefetchLoader
 
-        losses = [float(self._eval_step(params, b)[0])
-                  for b in PrefetchLoader(loader, size=2, mesh=self.mesh)]
+        pending = collections.deque()
+        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
+            pending.append(dispatch(batch))
+            if len(pending) >= window:
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
+
+    def evaluate_loss(self, params, loader) -> float:
+        losses: List[float] = []
+        self._windowed_eval(
+            loader,
+            lambda batch: self._eval_step(params, batch)[0],
+            lambda loss: losses.append(float(loss)))
         return float(np.mean(losses)) if losses else float("inf")
 
     def predict(self, params, loader, extra_keys: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
         """Collect logits/labels (+ any model_inputs keys) over a loader,
         dropping padded rows."""
-        from fairmultimodal_tpu.data.prefetch import PrefetchLoader
-
         out: Dict[str, list] = {"logits": [], "labels": []}
         for k in extra_keys:
             out[k] = []
-        for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
-            _, logits = self._eval_step(params, batch)
+
+        def dispatch(batch):
+            return self._eval_step(params, batch)[1], batch
+
+        def drain(item):
+            logits, batch = item
             keep = np.asarray(batch["weight"]) > 0
             out["logits"].append(np.asarray(logits)[keep])
             out["labels"].append(np.asarray(batch["labels"])[keep])
             for k in extra_keys:
                 out[k].append(np.asarray(batch["model_inputs"][k])[keep])
+
+        self._windowed_eval(loader, dispatch, drain)
         return {k: (np.concatenate(v) if v else np.zeros((0,)))
                 for k, v in out.items()}
 

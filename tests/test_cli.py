@@ -66,3 +66,22 @@ def test_predict_flags_parse():
 def test_predict_requires_params():
     with pytest.raises(SystemExit):
         main(["predict", "--synthetic", "8", "--quiet"])
+
+
+def test_mesh_flag_parses_and_rejects_non_fame():
+    p = build_parser()
+    assert p.parse_args(["fame", "--mesh", "8"]).mesh == "8"
+    assert p.parse_args(["fame", "--mesh", "4x2"]).mesh == "4x2"
+    with pytest.raises(SystemExit):
+        main(["behrt", "--mesh", "8", "--synthetic", "8", "--quiet"])
+
+
+@pytest.mark.slow
+def test_cli_fame_under_dp_mesh(tmp_path):
+    """fame --mesh 8 on the virtual 8-device mesh: the full pipeline
+    (DeviceLoader parked under the mesh, shard_map train/eval steps,
+    psum'd dyn-weight scan) runs from the CLI."""
+    rc = main(["fame", "--synthetic", "64", "--tiny", "--epochs", "1",
+               "--bsz", "16", "--mesh", "8", "--out_dir", str(tmp_path),
+               "--quiet"])
+    assert rc == 0
