@@ -171,3 +171,29 @@ def test_dp_full_fit_with_deviceloader():
     assert preds["logits"].shape == (8, 3)
     vecs = trainer.extract_vectors(best, val_loader)
     assert vecs["gated_vectors"].shape[0] == 8
+
+
+@pytest.mark.slow
+def test_reference_geometry_dp_train_step():
+    """The REAL 768/12L/12H FAME geometry compiles and steps through the
+    pure-DP shard_map path on the virtual 8-device mesh (the toy geometry
+    can't catch per-shard shape or VMA-typing issues at production dims)."""
+    model = FAMEModel(num_ages=4, num_genders=2, num_ethnicities=5,
+                      num_insurances=6, lab_token_count=549,
+                      dtype=jnp.bfloat16)
+    mesh = get_mesh(data=8, model=1)
+    cfg = TrainConfig(lr=1e-4, batch_size=8)
+    trainer = FAMETrainer(model, cfg, pos_weight=np.ones(3, np.float32),
+                          mesh=mesh)
+    assert trainer._dp_axis == "data"
+    batch = _batch(8, labs=549, hidden=768)
+    example = jax.tree_util.tree_map(jnp.asarray, batch)
+    params = trainer.init_params(example)
+    opt_state = trainer.init_opt_state(params)
+    dyn_w = jnp.asarray(trainer.dynamic_weights)
+    params, opt_state, total, bce = trainer._train_step(
+        params, opt_state, shard_batch(batch, mesh), dyn_w,
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(total)
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(bce))
