@@ -234,7 +234,16 @@ class AverageFusionModel(nn.Module):
 
 class SigmoidFusionModel(nn.Module):
     """09: per-modality learnable sigmoid gates post-projection, concat ->
-    768->512 -> classifier (09_multimodal_sigmoid_fusion.py:162-222)."""
+    aggregate 768->512+ReLU -> classifier 512->512+ReLU+Dropout(0.1)->3
+    (09_multimodal_sigmoid_fusion.py:162-222).
+
+    The ``classifier_hidden`` 512->512 layer matches the reference's
+    ``classifier = Sequential(Linear(512,512), ReLU, Dropout(0.1),
+    Linear(512,3))`` on top of ``aggregate_projector`` (09:187-197) — it was
+    missing before round 3 (the model had a single 768->512 hidden layer);
+    the end-to-end torch oracle caught the divergence.  Param-tree break vs
+    rounds 1-2 noted in PARITY.md.
+    """
 
     proj_dim: int = 256
     fusion_hidden: int = 512
@@ -256,10 +265,16 @@ class SigmoidFusionModel(nn.Module):
         fused = jnp.concatenate([demo * g_demo.astype(self.dtype),
                                  lab * g_lab.astype(self.dtype),
                                  text * g_text.astype(self.dtype)], axis=-1)
-        h = nn.relu(nn.Dense(self.fusion_hidden, dtype=self.dtype, name="proj")(fused))
+        # aggregate_projector (09:187-190); kept under the historical name
+        # "proj".
+        agg = nn.relu(nn.Dense(self.fusion_hidden, dtype=self.dtype,
+                               name="proj")(fused))
+        h = nn.relu(nn.Dense(self.fusion_hidden, dtype=self.dtype,
+                             name="classifier_hidden")(agg))
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         logits = nn.Dense(self.num_tasks, dtype=self.dtype, name="classifier")(h)
         return {"logits": logits.astype(jnp.float32),
+                "aggregated": agg.astype(jnp.float32),
                 "gates": (g_demo, g_lab, g_text)}
 
 

@@ -69,7 +69,7 @@ def run_average_fusion_experiment(
         text_model=cfg.text_model, text_max_length=cfg.text_max_length,
         text_batch_size=cfg.text_batch_size, test_size=cfg.test_size,
         val_size=cfg.val_size, split_seed=cfg.split_seed,
-        split_method="iterstrat", pos_weight_mode="none",
+        split_method="iterstrat", pos_weight_mode="neg_over_pos_clip10_all",
         seed=cfg.train.seed, task_index=task_index, verbose=verbose)
 
     n_ages, _, n_eth, n_ins = prep.vocab_sizes()
@@ -79,7 +79,8 @@ def run_average_fusion_experiment(
         hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_hidden_layers,
         num_attention_heads=cfg.num_attention_heads,
         num_tasks=len(task_names), dtype=dtype)
-    trainer = MultitaskTrainer(model, cfg.train)
+    # FocalLoss(gamma=1, pos_weight=whole-cohort clip-10 neg/pos) (07:643-647).
+    trainer = MultitaskTrainer(model, cfg.train, pos_weight=prep.pos_weight)
     example = next(iter(prep.loaders["train"]))
     params = trainer.init_params(example)
     best_params, history = trainer.fit(params, prep.loaders["train"],

@@ -195,7 +195,7 @@ def prepare_experiment(
     val_size: float = 0.05,
     split_seed: int = 42,
     split_method: str = "iterstrat",
-    pos_weight_mode: str = "balanced",      # "balanced" | "neg_over_pos" | "neg_over_pos_clip10" | "none"
+    pos_weight_mode: str = "balanced",      # "balanced" | "neg_over_pos" | "neg_over_pos_clip10" | "neg_over_pos_clip10_all" | "none"
     seed: int = 42,
     require_hf_weights: bool = False,
     age_bucket_upper: int = 89,
@@ -265,6 +265,14 @@ def prepare_experiment(
         pw = pos_weight_neg_over_pos(train_labels)
     elif pos_weight_mode == "neg_over_pos_clip10":
         pw = pos_weight_neg_over_pos(train_labels, clip=10.0)
+    elif pos_weight_mode == "neg_over_pos_clip10_all":
+        # 03/04/06/07/08/09 compute get_pos_weight over the WHOLE filtered
+        # cohort (df_filtered, not the train split): 03_DfC.py:648-653,
+        # 04_AdvDebias.py:1007-1012, 06_FairEHR-CLP.py:722-727,
+        # 07_multimodal_average_fusion.py:643-647,
+        # 08_multimodal_eddi_fusion.py:846-851,
+        # 09_multimodal_sigmoid_fusion.py:663-670.
+        pw = pos_weight_neg_over_pos(bundle.labels, clip=10.0)
     else:
         pw = np.ones(train_labels.shape[1], np.float32)
 

@@ -60,7 +60,7 @@ def run_dfc_experiment(
         text_model=cfg.text_model, text_max_length=cfg.text_max_length,
         text_batch_size=cfg.text_batch_size, test_size=cfg.test_size,
         val_size=cfg.val_size, split_seed=cfg.split_seed,
-        split_method="skmultilearn", pos_weight_mode="none",
+        split_method="skmultilearn", pos_weight_mode="neg_over_pos_clip10_all",
         seed=cfg.train.seed, verbose=verbose)
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -84,7 +84,10 @@ def run_dfc_experiment(
                  "text_embedding": batch["text_embedding"]},
                 deterministic)
 
-    trainer = MultitaskTrainer(DfCBatchModel(), cfg.train)
+    # FocalLoss(gamma=1, pos_weight=whole-cohort clip-10 neg/pos)
+    # (03_DfC.py:648-653).
+    trainer = MultitaskTrainer(DfCBatchModel(), cfg.train,
+                               pos_weight=prep.pos_weight)
     example = next(iter(prep.loaders["train"]))
     params = trainer.init_params(example)
     best_params, history = trainer.fit(params, prep.loaders["train"],

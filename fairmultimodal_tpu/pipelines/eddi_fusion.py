@@ -6,8 +6,9 @@ text encoders (08:261-346).  Per batch, each modality's EDDI is computed on
 the *current batch* with gender as the sensitive attribute (08:470-474) and
 the fused logit is ``sum_m w_m * logit_m`` with
 ``w_m = w_prev + beta * (eddi_max - eddi_m)``, beta=0.3 (08:348-402).
-The loss adds the reference's regularizer ``mean((mort_logit - 1)^2)``
-(08:486-487).
+The loss is per-task FocalLoss(gamma=1, pos_weight = clip-10 neg/pos over
+the whole filtered cohort, 08:846-851) plus the reference's regularizer
+``mean((mort_logit - 1)^2)`` (08:486-487).
 
 Weight persistence protocol (08:861-916): ``old_eddi_weights`` is held FIXED
 for every batch of an epoch (train, val, and eval all receive the same
@@ -45,7 +46,7 @@ from fairmultimodal_tpu.train.loop import EarlyStopper, PlateauScheduler
 from fairmultimodal_tpu.train.simple import SimpleTrainConfig
 
 __all__ = ["EDDIFusionPipelineConfig", "run_eddi_fusion_experiment",
-           "batch_eddi_weights"]
+           "batch_eddi_weights", "make_eddi_fusion_loss"]
 
 _KEYS = ("demo_dummy_ids", "demo_attn_mask", "age_ids", "gender_ids",
          "ethnicity_ids", "insurance_ids", "lab_features", "text_embedding")
@@ -116,6 +117,48 @@ def batch_eddi_weights(tm_logits, labels, gender_ids, w_prev, beta: float,
     return w_new, eddi
 
 
+def make_eddi_fusion_loss(model, cfg: "EDDIFusionPipelineConfig",
+                          pos_weight=None):
+    """The 08 joint loss as a standalone callable (train_step semantics,
+    08:454-490): per-batch EDDI weight nudge from DETACHED modality logits,
+    ``fused = sum_m w_m * logit_m``, per-task FocalLoss(gamma, pos_weight)
+    + ``reg_weight * mean((fused_mort - 1)^2)``.
+
+    Module-level (rather than inline in the runner) so the end-to-end torch
+    oracle (`tests/test_e2e_torch_parity.py`) exercises the exact loss the
+    pipeline trains with.  Returns ``loss_fn(params, batch, w_prev, rng,
+    train) -> (loss, (w_new, fused))``.
+    """
+    import jax.numpy as jnp
+
+    from fairmultimodal_tpu.ops.losses import focal_loss
+
+    pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
+
+    def loss_fn(params, batch, w_prev, rng, train):
+        out = model.apply({"params": params}, batch["model_inputs"],
+                          deterministic=not train,
+                          rngs={"dropout": rng} if train else None)
+        tm = out["task_modality_logits"]                      # [B, T, M]
+        # Effective fusion weights for THIS batch: w_prev + beta*(gap), with
+        # w_prev fixed for the whole epoch (08:389-392,454-468).  w_new is
+        # returned so the caller can persist the LAST val batch's weights.
+        w_new, eddi = batch_eddi_weights(
+            tm, batch["labels"], batch["model_inputs"]["gender_ids"],
+            w_prev, cfg.beta, weight=batch["weight"])
+        fused = jnp.einsum("btm,tm->bt", tm, w_new)
+        per = focal_loss(fused, batch["labels"], gamma=cfg.train.gamma,
+                         pos_weight=pw, reduction="none")
+        w = batch["weight"][:, None]
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        loss = jnp.sum(jnp.sum(per * w, axis=0) / denom)
+        # Reference quirk (08:486-487): (mortality fused logit - 1)^2 mean.
+        reg = jnp.sum(((fused[:, 0] - 1.0) ** 2) * batch["weight"]) / denom
+        return loss + cfg.reg_weight * reg, (w_new, fused)
+
+    return loss_fn
+
+
 def run_eddi_fusion_experiment(
     structured: pd.DataFrame,
     unstructured: pd.DataFrame,
@@ -127,8 +170,6 @@ def run_eddi_fusion_experiment(
     import jax.numpy as jnp
     import optax
 
-    from fairmultimodal_tpu.ops.losses import focal_loss
-
     cfg = config or EDDIFusionPipelineConfig()
     task_names, task_index = resolve_task(cfg.task)
     prep = prepare_experiment(
@@ -137,7 +178,7 @@ def run_eddi_fusion_experiment(
         text_model=cfg.text_model, text_max_length=cfg.text_max_length,
         text_batch_size=cfg.text_batch_size, test_size=cfg.test_size,
         val_size=cfg.val_size, split_seed=cfg.split_seed,
-        split_method="iterstrat", pos_weight_mode="none",
+        split_method="iterstrat", pos_weight_mode="neg_over_pos_clip10_all",
         seed=cfg.train.seed, task_index=task_index, verbose=verbose)
 
     n_ages, n_gen, n_eth, n_ins = prep.vocab_sizes()
@@ -157,27 +198,7 @@ def run_eddi_fusion_experiment(
 
     tx = optax.adam(cfg.train.lr)
     rng = jax.random.PRNGKey(cfg.train.seed)
-
-    def loss_fn(params, batch, w_prev, rng, train):
-        out = model.apply({"params": params}, batch["model_inputs"],
-                          deterministic=not train,
-                          rngs={"dropout": rng} if train else None)
-        tm = out["task_modality_logits"]                      # [B, T, M]
-        # Effective fusion weights for THIS batch: w_prev + beta*(gap), with
-        # w_prev fixed for the whole epoch (08:389-392,454-468).  w_new is
-        # returned so the caller can persist the LAST val batch's weights.
-        w_new, eddi = batch_eddi_weights(
-            tm, batch["labels"], batch["model_inputs"]["gender_ids"],
-            w_prev, cfg.beta, weight=batch["weight"])
-        fused = jnp.einsum("btm,tm->bt", tm, w_new)
-        per = focal_loss(fused, batch["labels"], gamma=cfg.train.gamma,
-                         reduction="none")
-        w = batch["weight"][:, None]
-        denom = jnp.maximum(jnp.sum(w), 1.0)
-        loss = jnp.sum(jnp.sum(per * w, axis=0) / denom)
-        # Reference quirk (08:486-487): (mortality fused logit - 1)^2 mean.
-        reg = jnp.sum(((fused[:, 0] - 1.0) ** 2) * batch["weight"]) / denom
-        return loss + cfg.reg_weight * reg, (w_new, fused)
+    loss_fn = make_eddi_fusion_loss(model, cfg, pos_weight=prep.pos_weight)
 
     @jax.jit
     def train_step(params, opt_state, batch, w_prev, rng):

@@ -71,7 +71,7 @@ def run_fairehr_clp_experiment(
         text_model=cfg.text_model, text_max_length=cfg.text_max_length,
         text_batch_size=cfg.text_batch_size, test_size=cfg.test_size,
         val_size=cfg.val_size, split_seed=cfg.split_seed,
-        split_method="iterstrat", pos_weight_mode="none",
+        split_method="iterstrat", pos_weight_mode="neg_over_pos_clip10_all",
         seed=cfg.train.seed, verbose=verbose)
 
     n_ages, _, n_eth, n_ins = prep.vocab_sizes()
@@ -104,14 +104,18 @@ def run_fairehr_clp_experiment(
                 out["e_adj"], out["e_adj_syn"], tau=cfg.tau,
                 weight=batch["weight"])
 
-        trainer = MultitaskTrainer(model, cfg.train, loss_extras=extras)
+        # FocalLoss(gamma=1, pos_weight=whole-cohort clip-10 neg/pos)
+        # (06_FairEHR-CLP.py:722-727).
+        trainer = MultitaskTrainer(model, cfg.train, loss_extras=extras,
+                                   pos_weight=prep.pos_weight)
     else:
         model = StructTextModel(
             num_ages=n_ages, num_ethnicities=n_eth, num_insurances=n_ins,
             hidden_size=cfg.hidden_size,
             num_hidden_layers=cfg.num_hidden_layers,
             num_attention_heads=cfg.num_attention_heads, dtype=dtype)
-        trainer = MultitaskTrainer(model, cfg.train)
+        trainer = MultitaskTrainer(model, cfg.train,
+                                   pos_weight=prep.pos_weight)
 
     example = next(iter(prep.loaders["train"]))
     params = trainer.init_params(example)

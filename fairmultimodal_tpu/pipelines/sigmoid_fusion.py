@@ -2,7 +2,8 @@
 (09_multimodal_sigmoid_fusion.py:512-748).
 
 Demo-BERT + lab encoder + text with three learnable 256-d sigmoid gates, no
-fairness term in training (plain FocalLoss gamma=1 summed over tasks).
+fairness term in training (FocalLoss gamma=1 with whole-cohort clip-10
+pos_weight, summed over tasks — 09:663-670).
 Splits use a plain sklearn stratified split on mortality only (09:592-593).
 
 Reference bug NOT replicated (documented at 09:605): the original realigns
@@ -73,7 +74,7 @@ def run_sigmoid_fusion_experiment(
         text_model=cfg.text_model, text_max_length=cfg.text_max_length,
         text_batch_size=cfg.text_batch_size, test_size=cfg.test_size,
         val_size=cfg.val_size, split_seed=cfg.split_seed,
-        split_method="sklearn", pos_weight_mode="none",
+        split_method="sklearn", pos_weight_mode="neg_over_pos_clip10_all",
         seed=cfg.train.seed,
         age_bucket_upper=90 if cfg.reference_compat else 89,
         task_index=task_index, verbose=verbose)
@@ -86,7 +87,9 @@ def run_sigmoid_fusion_experiment(
         hidden_size=cfg.hidden_size, demo_layers=cfg.demo_layers,
         demo_heads=cfg.demo_heads, lab_layers=cfg.lab_layers,
         lab_heads=cfg.lab_heads, num_tasks=len(task_names), dtype=dtype)
-    trainer = MultitaskTrainer(model, cfg.train)
+    # FocalLoss(gamma=1, pos_weight=whole-cohort clip-10 neg/pos)
+    # (09:663-670).
+    trainer = MultitaskTrainer(model, cfg.train, pos_weight=prep.pos_weight)
     example = next(iter(prep.loaders["train"]))
     params = trainer.init_params(example)
     best_params, history = trainer.fit(params, prep.loaders["train"],

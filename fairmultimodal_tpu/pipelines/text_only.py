@@ -2,7 +2,9 @@
 
 Frozen BioClinicalBERT note embeddings (batched chunk encoding replaces the
 reference's per-note loop) -> 768->256->3 MLP head trained with
-FocalLoss(gamma=2, pos_weight=neg/pos clipped at 10), AdamW lr 2e-5.
+FocalLoss(gamma=2, pos_weight=n/(2*n_pos) over the TRAIN split — 02 defines
+clip-10 ``get_pos_weight`` but never calls it; the live criteria use
+``compute_class_weights(df_train).iloc[1]``, 02:488-497), AdamW lr 2e-5.
 Reference subsamples with ``.head(1000)`` (02:405); expose via ``head``.
 """
 
@@ -56,7 +58,7 @@ def run_text_only_experiment(
         text_batch_size=cfg.text_batch_size, head=cfg.head,
         test_size=cfg.test_size, val_size=cfg.val_size,
         split_seed=cfg.split_seed, split_method="skmultilearn",
-        pos_weight_mode="neg_over_pos_clip10", seed=cfg.train.seed,
+        pos_weight_mode="balanced", seed=cfg.train.seed,
         task_index=task_index, verbose=verbose)
 
     model = TextOnlyClassifier(num_tasks=len(task_names))

@@ -14,7 +14,13 @@ tests cannot see:
   lambda_l1*|sig_weights|_1).
 - ``TorchAvgFusion`` replicates 07's BEHRTModel + MultimodalTransformer
   (``07_multimodal_average_fusion.py:156-238``) with the reference FocalLoss
-  (γ=1) summed over tasks.
+  (γ=1, pos_weight) summed over tasks.
+- ``TorchSigmoidFusion`` replicates 09's gated fusion
+  (``09_multimodal_sigmoid_fusion.py:106-222``) — this oracle caught the
+  missing 512→512 ``classifier_hidden`` layer (see PARITY.md).
+- ``TorchEDDIFusion`` replicates 08's nine-head model + the per-batch EDDI
+  weight nudge from detached logits (``08:261-452``), compared against the
+  EXACT pipeline loss (``make_eddi_fusion_loss``).
 
 Protocol: init the Flax model, transplant its weights into the torch replica
 (the same tensor mapping is applied to the Flax gradient tree so gradients
@@ -38,11 +44,15 @@ transformers = pytest.importorskip("transformers")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from fairmultimodal_tpu.models.baselines import StructTextModel  # noqa: E402
-from fairmultimodal_tpu.models.behrt import BEHRTDemo  # noqa: E402
+from fairmultimodal_tpu.models.baselines import (  # noqa: E402
+    EDDIFusionFull,
+    SigmoidFusionFull,
+    StructTextModel,
+)
 from fairmultimodal_tpu.models.fusion import FAMEModel  # noqa: E402
-from fairmultimodal_tpu.ops.losses import bce_with_logits, focal_loss  # noqa: E402
+from fairmultimodal_tpu.ops.losses import bce_with_logits  # noqa: E402
 from fairmultimodal_tpu.fairness.loss import eddi_loss  # noqa: E402
+from fairmultimodal_tpu.train.simple import masked_task_loss  # noqa: E402
 
 H = 32            # hidden size (tiny geometry; wiring is size-independent)
 NH = 4            # attention heads
@@ -108,12 +118,9 @@ def _dense(fl):
     return fl["kernel"].T, fl["bias"]
 
 
-def fame_flax_to_torch(params):
-    """FAMEModel param tree -> TorchFAME state-dict arrays.
-
-    Applied both to weights (transplant) and to the gradient tree (leaf-wise
-    comparison) — the mapping is linear, so it commutes with d/dθ.
-    """
+def _demo_lab_sd(params):
+    """Shared BEHRTDemo + BEHRTLab encoder mapping (the trunk every fusion
+    family reuses — 08:261-312, 09:106-160, 10_FAME.py:175-224)."""
     t = _bert_sd(params["behrt_demo"]["bert"], "bert.", LAYERS)
     for name in ("age", "gender", "ethnicity", "insurance"):
         t[f"{name}_embedding.weight"] = params["behrt_demo"][f"{name}_embedding"]["embedding"]
@@ -122,6 +129,16 @@ def fame_flax_to_torch(params):
     t["pos_embedding"] = lab["pos_embedding"]
     for i in range(2):
         t.update(_torch_layer_sd(lab[f"layer_{i}"], f"encoder.layers.{i}"))
+    return t
+
+
+def fame_flax_to_torch(params):
+    """FAMEModel param tree -> TorchFAME state-dict arrays.
+
+    Applied both to weights (transplant) and to the gradient tree (leaf-wise
+    comparison) — the mapping is linear, so it commutes with d/dθ.
+    """
+    t = _demo_lab_sd(params)
     fu = params["fusion"]
     for mod in ("demo", "lab", "text"):
         t[f"{mod}_projector.weight"], t[f"{mod}_projector.bias"] = _dense(
@@ -134,8 +151,9 @@ def fame_flax_to_torch(params):
     return {k: np.asarray(v) for k, v in t.items()}
 
 
-class TorchFAME(torch.nn.Module):
-    """Reference FAME semantics (10_FAME.py:175-313) in torch primitives."""
+class _TorchDemoLab(torch.nn.Module):
+    """Shared BEHRTModel_Demo + BEHRTModel_Lab trunk in torch primitives
+    (10_FAME.py:175-224; 08:261-312 and 09:106-160 are the same modules)."""
 
     def __init__(self):
         super().__init__()
@@ -156,6 +174,26 @@ class TorchFAME(torch.nn.Module):
         self.pos_embedding = nn.Parameter(torch.randn(LABS, H))
         layer = nn.TransformerEncoderLayer(H, NH, batch_first=True)
         self.encoder = nn.TransformerEncoder(layer, 2)
+
+    def encode(self, b):
+        cls = self.bert(input_ids=b["demo_dummy_ids"],
+                        attention_mask=b["demo_attn_mask"]).last_hidden_state[:, 0, :]
+        extra = (self.age_embedding(b["age_ids"])
+                 + self.gender_embedding(b["gender_ids"])
+                 + self.ethnicity_embedding(b["ethnicity_ids"])
+                 + self.insurance_embedding(b["insurance_ids"])) / 4.0
+        demo = cls + extra
+        x = self.token_embedding(b["lab_features"].unsqueeze(-1)) + self.pos_embedding
+        lab = self.encoder(x).mean(dim=1)
+        return demo, lab
+
+
+class TorchFAME(_TorchDemoLab):
+    """Reference FAME semantics (10_FAME.py:175-313) in torch primitives."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
         self.demo_projector = nn.Linear(H, 256)
         self.lab_projector = nn.Linear(H, 256)
         self.text_projector = nn.Linear(TEXT_DIM, 256)
@@ -168,15 +206,7 @@ class TorchFAME(torch.nn.Module):
 
     def forward(self, b, w_mort):
         relu = torch.nn.functional.relu
-        cls = self.bert(input_ids=b["demo_dummy_ids"],
-                        attention_mask=b["demo_attn_mask"]).last_hidden_state[:, 0, :]
-        extra = (self.age_embedding(b["age_ids"])
-                 + self.gender_embedding(b["gender_ids"])
-                 + self.ethnicity_embedding(b["ethnicity_ids"])
-                 + self.insurance_embedding(b["insurance_ids"])) / 4.0
-        demo = cls + extra
-        x = self.token_embedding(b["lab_features"].unsqueeze(-1)) + self.pos_embedding
-        lab = self.encoder(x).mean(dim=1)
+        demo, lab = self.encode(b)
         demo_p = relu(self.demo_projector(demo))
         lab_p = relu(self.lab_projector(lab))
         text_p = relu(self.text_projector(b["text_embedding"]))
@@ -406,13 +436,15 @@ class TorchAvgFusion(torch.nn.Module):
         return logits, torch.cat([ts_pre, text_pre], dim=1)
 
 
-def reference_focal(logits, labels, gamma=1.0):
-    """FocalLoss (02:18-39 / 07:25-46): ((1-e^{-BCE})^g)*BCE, batch mean,
-    summed over the three per-task criteria."""
+def reference_focal(logits, labels, gamma=1.0, pos_weight=None):
+    """FocalLoss (02:18-39 / 07:25-46): ((1-e^{-BCE})^g)*BCE with per-task
+    ``pos_weight`` (the whole-cohort clip-10 weights of 07:643-647), batch
+    mean, summed over the three per-task criteria."""
     total = 0.0
     for t in range(logits.shape[1]):
+        pw = None if pos_weight is None else pos_weight[t].reshape(())
         bce = torch.nn.functional.binary_cross_entropy_with_logits(
-            logits[:, t], labels[:, t], reduction="none")
+            logits[:, t], labels[:, t], reduction="none", pos_weight=pw)
         total = total + (((1 - torch.exp(-bce)) ** gamma) * bce).mean()
     return total
 
@@ -457,18 +489,381 @@ def test_average_fusion_end_to_end_matches_torch():
                                fused_ref.detach().numpy(),
                                atol=1e-5, rtol=1e-5)
 
-    loss_ref = reference_focal(logits_ref, torch.tensor(labels))
+    # Loss parity through the TRAINER's assembly (masked_task_loss is what
+    # MultitaskTrainer differentiates), with the whole-cohort clip-10
+    # pos_weight the pipeline now passes (07:643-647).
+    loss_ref = reference_focal(logits_ref, torch.tensor(labels),
+                               pos_weight=torch.tensor(POS_W))
 
     def flax_loss(p):
         o = model.apply({"params": p}, jb, deterministic=True)
-        per = focal_loss(o["logits"], jnp.asarray(labels), gamma=1.0,
-                         reduction="none")
-        return jnp.sum(jnp.mean(per, axis=0))
+        return masked_task_loss(o["logits"], jnp.asarray(labels),
+                                jnp.ones(B), loss="focal", gamma=1.0,
+                                pos_weight=jnp.asarray(POS_W))
 
     loss, grads = jax.value_and_grad(flax_loss)(params)
     assert float(loss) == pytest.approx(loss_ref.item(), abs=1e-6)
 
     loss_ref.backward()
     grads_sd = avg_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
+    n = _compare_grads(grads_sd, ref, atol=1e-4)
+    assert n > 30
+
+
+# --- 09 sigmoid fusion --------------------------------------------------------
+
+def sigmoid_flax_to_torch(params):
+    t = _demo_lab_sd(params)
+    fu = params["fusion"]
+    for mod in ("demo", "lab", "text"):
+        t[f"{mod}_projector.weight"], t[f"{mod}_projector.bias"] = _dense(
+            fu[f"{mod}_projector"]["dense"])
+        t[f"sig_weights_{mod}"] = fu[f"sig_weights_{mod}"]
+    t["aggregate.weight"], t["aggregate.bias"] = _dense(fu["proj"])
+    t["cls_hidden.weight"], t["cls_hidden.bias"] = _dense(fu["classifier_hidden"])
+    t["cls_out.weight"], t["cls_out.bias"] = _dense(fu["classifier"])
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+class TorchSigmoidFusion(_TorchDemoLab):
+    """09's MultimodalTransformer (09_multimodal_sigmoid_fusion.py:162-222):
+    three 256-d gated projections -> concat -> aggregate_projector
+    (768->512+ReLU) -> classifier (512->512+ReLU+Dropout+512->3)."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.demo_projector = nn.Linear(H, 256)
+        self.lab_projector = nn.Linear(H, 256)
+        self.text_projector = nn.Linear(TEXT_DIM, 256)
+        self.sig_weights_demo = nn.Parameter(torch.randn(256))
+        self.sig_weights_lab = nn.Parameter(torch.randn(256))
+        self.sig_weights_text = nn.Parameter(torch.randn(256))
+        self.aggregate = nn.Linear(768, 512)
+        self.cls_hidden = nn.Linear(512, 512)
+        self.cls_out = nn.Linear(512, 3)
+
+    def forward(self, b):
+        relu = torch.nn.functional.relu
+        demo, lab = self.encode(b)
+        demo_p = relu(self.demo_projector(demo))
+        lab_p = relu(self.lab_projector(lab))
+        text_p = relu(self.text_projector(b["text_embedding"]))
+        concat = torch.cat([demo_p * torch.sigmoid(self.sig_weights_demo),
+                            lab_p * torch.sigmoid(self.sig_weights_lab),
+                            text_p * torch.sigmoid(self.sig_weights_text)],
+                           dim=1)
+        aggregated = relu(self.aggregate(concat))
+        logits = self.cls_out(relu(self.cls_hidden(aggregated)))  # dropout off
+        return logits, aggregated
+
+
+@pytest.mark.slow
+def test_sigmoid_fusion_end_to_end_matches_torch():
+    """Full 09 assembly: forward, FocalLoss(gamma=1, pos_weight) per task
+    summed (09:464-483,663-670), and gradients, against live torch.
+
+    This test is what caught the missing 512->512 classifier_hidden layer
+    (round-3 fix in models/fusion.py): with the reference architecture both
+    sides agree leaf-for-leaf."""
+    rng = np.random.default_rng(2)
+    batch = _example_batch(rng)
+    labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
+
+    model = SigmoidFusionFull(
+        num_ages=N_AGE, num_genders=N_GEN, num_ethnicities=N_ETH,
+        num_insurances=N_INS, lab_token_count=LABS, hidden_size=H,
+        demo_layers=LAYERS, demo_heads=NH, lab_layers=2, lab_heads=NH)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(2, impl="threefry2x32"), jb)["params"]
+
+    ref = TorchSigmoidFusion()
+    sd = sigmoid_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("position_ids" in m for m in missing), missing
+    ref.eval()
+
+    logits_ref, agg_ref = ref(_to_torch(batch))
+    out = model.apply({"params": params}, jb, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               logits_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["aggregated"]),
+                               agg_ref.detach().numpy(), atol=1e-5, rtol=1e-5)
+
+    loss_ref = reference_focal(logits_ref, torch.tensor(labels),
+                               pos_weight=torch.tensor(POS_W))
+
+    def flax_loss(p):
+        o = model.apply({"params": p}, jb, deterministic=True)
+        return masked_task_loss(o["logits"], jnp.asarray(labels),
+                                jnp.ones(B), loss="focal", gamma=1.0,
+                                pos_weight=jnp.asarray(POS_W))
+
+    loss, grads = jax.value_and_grad(flax_loss)(params)
+    assert float(loss) == pytest.approx(loss_ref.item(), abs=1e-6)
+
+    loss_ref.backward()
+    grads_sd = sigmoid_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
+    n = _compare_grads(grads_sd, ref, atol=1e-4)
+    assert n > 40
+
+
+# --- 08 EDDI logit-weighted fusion --------------------------------------------
+
+def eddi_flax_to_torch(params):
+    t = _demo_lab_sd(params)
+    for mod in ("demo", "lab", "text"):
+        t[f"{mod}_projector.weight"], t[f"{mod}_projector.bias"] = _dense(
+            params[f"{mod}_projector"]["dense"])
+    for task in ("mortality", "los", "mech"):
+        for mod in ("demo", "lab", "text"):
+            t[f"head_{task}_{mod}.weight"], t[f"head_{task}_{mod}.bias"] = \
+                _dense(params[f"head_{task}_{mod}"])
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+class TorchEDDIFusion(_TorchDemoLab):
+    """08's MultimodalTransformer (08_multimodal_eddi_fusion.py:314-452):
+    shared projections, nine single-logit outcome heads."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.demo_projector = nn.Linear(H, 256)
+        self.lab_projector = nn.Linear(H, 256)
+        self.text_projector = nn.Linear(TEXT_DIM, 256)
+        for task in ("mortality", "los", "mech"):
+            for mod in ("demo", "lab", "text"):
+                setattr(self, f"head_{task}_{mod}", nn.Linear(256, 1))
+
+    def forward(self, b):
+        relu = torch.nn.functional.relu
+        demo, lab = self.encode(b)
+        projs = {"demo": relu(self.demo_projector(demo)),
+                 "lab": relu(self.lab_projector(lab)),
+                 "text": relu(self.text_projector(b["text_embedding"]))}
+        logits = {}
+        for task in ("mortality", "los", "mech"):
+            for mod in ("demo", "lab", "text"):
+                logits[f"{task}_{mod}"] = getattr(
+                    self, f"head_{task}_{mod}")(projs[mod])
+        return logits
+
+
+def reference_compute_eddi(y_true, y_pred_bin, sensitive):
+    """Verbatim semantics of 08's compute_eddi (08:45-59): normalized
+    subgroup error gaps over np.unique groups, sqrt-sum / n_groups."""
+    unique_groups = np.unique(sensitive)
+    overall = np.mean(y_pred_bin != y_true)
+    denom = max(overall, 1 - overall) if overall not in (0, 1) else 1.0
+    vals = []
+    for g in unique_groups:
+        m = sensitive == g
+        er = np.mean(y_pred_bin[m] != y_true[m])
+        vals.append((er - overall) / denom)
+    return np.sqrt(np.sum(np.asarray(vals) ** 2)) / len(unique_groups)
+
+
+@pytest.mark.slow
+def test_eddi_fusion_end_to_end_matches_torch():
+    """Full 08 assembly against live torch: nine-head forward, per-batch
+    EDDI weight nudge from DETACHED logits (08:348-402, gender-sensitive),
+    weighted logit fusion, FocalLoss(gamma=1, pos_weight) + the
+    (mort_logit - 1)^2 regularizer (08:483-488), and gradients.
+
+    The flax side is the EXACT pipeline loss (make_eddi_fusion_loss), so a
+    wiring change in the pipeline breaks this test."""
+    from fairmultimodal_tpu.pipelines.eddi_fusion import (
+        EDDIFusionPipelineConfig,
+        make_eddi_fusion_loss,
+    )
+
+    rng = np.random.default_rng(3)
+    batch = _example_batch(rng)
+    # Both genders present so np.unique(gender) == {0, 1} on the torch side
+    # matches the present-mask group count on the flax side.
+    batch["gender_ids"] = np.array([0, 1, 0, 1, 0, 1], np.int32)
+    labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
+    w_prev = np.array([[0.40, 0.30, 0.30],
+                       [0.33, 0.33, 0.33],
+                       [0.25, 0.45, 0.30]], np.float32)
+
+    model = EDDIFusionFull(
+        num_ages=N_AGE, num_genders=N_GEN, num_ethnicities=N_ETH,
+        num_insurances=N_INS, lab_token_count=LABS, hidden_size=H,
+        demo_layers=LAYERS, demo_heads=NH, lab_layers=2, lab_heads=NH)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(3, impl="threefry2x32"), jb)["params"]
+
+    ref = TorchEDDIFusion()
+    sd = eddi_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("position_ids" in m for m in missing), missing
+    ref.eval()
+
+    cfg = EDDIFusionPipelineConfig()        # beta=0.3, reg_weight=1.0, gamma=1
+    flax_loss_fn = make_eddi_fusion_loss(model, cfg, pos_weight=POS_W)
+    fbatch = {"model_inputs": jb, "labels": jnp.asarray(labels),
+              "weight": jnp.ones(B)}
+
+    def flax_loss(p):
+        loss, (w_new, fused) = flax_loss_fn(p, fbatch, jnp.asarray(w_prev),
+                                            jax.random.PRNGKey(0), False)
+        return loss, (w_new, fused)
+
+    (loss, (w_new, fused)), grads = jax.value_and_grad(
+        flax_loss, has_aux=True)(params)
+
+    # -- torch side: compute_weighted_logit semantics (08:348-402) --
+    raw = ref(_to_torch(batch))
+    gender = batch["gender_ids"]
+    tasks = ("mortality", "los", "mech")
+    fused_cols, w_rows = [], []
+    for ti, task in enumerate(tasks):
+        eddis = []
+        for mod in ("demo", "lab", "text"):
+            prob = torch.sigmoid(raw[f"{task}_{mod}"].detach()).numpy().squeeze()
+            eddis.append(reference_compute_eddi(labels[:, ti],
+                                                (prob > 0.5).astype(float),
+                                                gender))
+        e_max = max(eddis)
+        w_t = [w_prev[ti, mi] + cfg.beta * (e_max - e)
+               for mi, e in enumerate(eddis)]
+        w_rows.append(w_t)
+        fused_cols.append(w_t[0] * raw[f"{task}_demo"]
+                          + w_t[1] * raw[f"{task}_lab"]
+                          + w_t[2] * raw[f"{task}_text"])
+    fused_ref = torch.cat(fused_cols, dim=1)
+
+    np.testing.assert_allclose(np.asarray(w_new), np.asarray(w_rows),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused),
+                               fused_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+    # -- joint loss: Σ_t FocalLoss_t(fused_t) + reg_weight*mean((mort-1)^2) --
+    tl = torch.tensor(labels)
+    loss_ref = reference_focal(fused_ref, tl, gamma=1.0,
+                               pos_weight=torch.tensor(POS_W))
+    loss_ref = loss_ref + cfg.reg_weight * ((fused_ref[:, 0] - 1.0) ** 2).mean()
+    assert float(loss) == pytest.approx(loss_ref.item(), abs=1e-6)
+
+    # -- gradients flow ONLY through the raw logits (weights detached) --
+    loss_ref.backward()
+    grads_sd = eddi_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
+    n = _compare_grads(grads_sd, ref, atol=1e-4)
+    assert n > 40
+
+
+# --- 03 DfC (demographics-free) -----------------------------------------------
+
+N_SEG2, N_ADM2, N_DIS2 = 2, 7, 9
+
+
+def dfc_flax_to_torch(params):
+    t = _bert_sd(params["bert"], "bert.", LAYERS)
+    for name in ("segment", "admission_loc", "discharge_loc"):
+        t[f"{name}_embedding.weight"] = params[f"{name}_embedding"]["embedding"]
+    t["ts_linear.weight"], t["ts_linear.bias"] = _dense(
+        params["struct_projector"]["dense"])
+    t["text_linear.weight"], t["text_linear.bias"] = _dense(
+        params["text_projector"]["dense"])
+    t["cls1.weight"], t["cls1.bias"] = _dense(params["dense1"])
+    t["cls2.weight"], t["cls2.bias"] = _dense(params["dense2"])
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+class TorchDfC(torch.nn.Module):
+    """03's BEHRTModel_DfC + MultimodalTransformer_DfC (03_DfC.py:156-220):
+    dummy-token BERT CLS + mean of three ward embeddings, ts/text 256-d
+    projectors, 512->512->3 classifier.  No demographic inputs at all."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        cfg = transformers.BertConfig(
+            vocab_size=max(N_SEG2 + N_ADM2 + N_DIS2 + 2, 4), hidden_size=H,
+            num_hidden_layers=LAYERS, num_attention_heads=NH,
+            intermediate_size=H * 4, max_position_embeddings=512,
+            type_vocab_size=2)
+        self.bert = transformers.BertModel(cfg, add_pooling_layer=False)
+        self.segment_embedding = nn.Embedding(N_SEG2, H)
+        self.admission_loc_embedding = nn.Embedding(N_ADM2, H)
+        self.discharge_loc_embedding = nn.Embedding(N_DIS2, H)
+        self.ts_linear = nn.Linear(H, 256)
+        self.text_linear = nn.Linear(TEXT_DIM, 256)
+        self.cls1 = nn.Linear(512, 512)
+        self.cls2 = nn.Linear(512, 3)
+
+    def forward(self, b):
+        relu = torch.nn.functional.relu
+        cls = self.bert(input_ids=b["dummy_ids"],
+                        attention_mask=b["attn_mask"]).last_hidden_state[:, 0, :]
+        extra = (self.segment_embedding(b["segment_ids"])
+                 + self.admission_loc_embedding(b["admission_loc_ids"])
+                 + self.discharge_loc_embedding(b["discharge_loc_ids"])) / 3.0
+        struct = cls + extra
+        combined = torch.cat([relu(self.ts_linear(struct)),
+                              relu(self.text_linear(b["text_embedding"]))],
+                             dim=1)
+        return self.cls2(relu(self.cls1(combined)))
+
+
+@pytest.mark.slow
+def test_dfc_end_to_end_matches_torch():
+    """Full 03 assembly: demographics-free forward, FocalLoss(gamma=1,
+    pos_weight) per task summed (03:648-653), gradients."""
+    from fairmultimodal_tpu.models.fusion import DfCModel
+
+    rng = np.random.default_rng(4)
+    batch = {
+        "dummy_ids": np.ones((B, 1), np.int32),
+        "attn_mask": np.ones((B, 1), np.int32),
+        "segment_ids": rng.integers(0, N_SEG2, B).astype(np.int32),
+        "admission_loc_ids": rng.integers(0, N_ADM2, B).astype(np.int32),
+        "discharge_loc_ids": rng.integers(0, N_DIS2, B).astype(np.int32),
+        "text_embedding": rng.normal(0, 1, (B, TEXT_DIM)).astype(np.float32),
+    }
+    labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
+
+    model = DfCModel(num_segments=N_SEG2, num_admission_locs=N_ADM2,
+                     num_discharge_locs=N_DIS2, hidden_size=H,
+                     num_hidden_layers=LAYERS, num_attention_heads=NH)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(4, impl="threefry2x32"), jb)["params"]
+
+    ref = TorchDfC()
+    sd = dfc_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("position_ids" in m for m in missing), missing
+    ref.eval()
+
+    logits_ref = ref(_to_torch(batch))
+    out = model.apply({"params": params}, jb, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               logits_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+    loss_ref = reference_focal(logits_ref, torch.tensor(labels),
+                               pos_weight=torch.tensor(POS_W))
+
+    def flax_loss(p):
+        o = model.apply({"params": p}, jb, deterministic=True)
+        return masked_task_loss(o["logits"], jnp.asarray(labels),
+                                jnp.ones(B), loss="focal", gamma=1.0,
+                                pos_weight=jnp.asarray(POS_W))
+
+    loss, grads = jax.value_and_grad(flax_loss)(params)
+    assert float(loss) == pytest.approx(loss_ref.item(), abs=1e-6)
+
+    loss_ref.backward()
+    grads_sd = dfc_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
     n = _compare_grads(grads_sd, ref, atol=1e-4)
     assert n > 30
