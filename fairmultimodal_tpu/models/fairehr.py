@@ -156,7 +156,14 @@ class FairEHRCLP(nn.Module):
 
         e_adj = gate(fuse(demo, lab, text, deterministic))
         e_adj_syn = gate(fuse(demo_syn, lab_syn, text_syn, deterministic))
-        logits = nn.Dense(self.num_tasks, dtype=self.dtype, name="classifier")(e_adj)
+        # Reference Classifier (06:344-353): Linear(d, d//2) -> ReLU ->
+        # Dropout(0.1) -> Linear(d//2, C).  The hidden layer was missing
+        # before round 3 (single Dense) — caught by the torch oracle, same
+        # class of bug as 09's classifier_hidden (PARITY.md).
+        h = nn.relu(nn.Dense(self.fusion_dim // 2, dtype=self.dtype,
+                             name="classifier_hidden")(e_adj))
+        h = nn.Dropout(0.1)(h, deterministic=deterministic)
+        logits = nn.Dense(self.num_tasks, dtype=self.dtype, name="classifier")(h)
         return {"logits": logits.astype(jnp.float32),
                 "e_adj": e_adj.astype(jnp.float32),
                 "e_adj_syn": e_adj_syn.astype(jnp.float32)}

@@ -2,21 +2,41 @@
 
 A predictor MLP (X -> hidden -> 1, sigmoid) is trained jointly against an
 adversary MLP that tries to recover the (binarized) sensitive attribute from
-``(y_hat, y)``; the predictor minimizes
+``(y_hat, y)``; the headline combined objective is
 
     L_pred - alpha * L_adv + L_pred / (L_adv + 1e-8)        (04:720)
 
-while the adversary minimizes ``L_adv`` with its own optimizer.  The
-reference runs full-batch Adam for ``num_iters`` iterations over an
+**Exact update semantics (04:724-731), replicated here and pinned by the
+end-to-end torch oracle**: the reference calls
+``adv_loss_train.backward(retain_graph=True)`` and then
+``combined_loss_train.backward()`` with NO ``detach()`` anywhere and no
+``zero_grad`` in between, so both passes accumulate into BOTH models'
+``.grad`` buffers; both ``optimizer.step()`` calls then consume the summed
+buffers at the OLD parameters.  Net effect: each network takes one Adam step
+on ``d(L_adv + combined)/d(own params)`` —
+
+- predictor grad = ∇_p combined **+ ∇_p L_adv** (the adversary loss leaks
+  into the predictor through the un-detached ``y_hat`` input), and
+- adversary grad = ``(1 - alpha - L_pred/(L_adv+1e-8)^2) · ∇_a L_adv`` (the
+  combined loss's two adversary-dependent terms stack on top of the plain
+  ``L_adv`` step) — with ``alpha=1`` the adversary actually *ascends* its
+  own loss whenever ``L_pred/(L_adv+eps)^2 > 0``.
+
+This is not textbook min-max, but it IS what 04 trains; a clean alternating
+scheme diverges from the reference trajectory from iteration 1 (caught by
+``tests/test_e2e_torch_parity.py::test_adv_debias_step_matches_torch``).
+Both grads are computed in one ``jax.value_and_grad(argnums=(0, 1))`` of the
+summed scalar, so the min-max update is still ONE jitted XLA program per
+iteration.  Dropout is live in the reference's training forward (the torch
+modules are never put in eval mode) and is live here; the reference also
+leaves dropout on for its per-iteration *validation* loss, which we do NOT
+replicate (validation runs deterministic — documented deviation, PARITY.md).
+
+The reference runs full-batch Adam for ``num_iters`` iterations over an
 ``itertools.product`` hyperparameter grid (04:569-585), after 1:20
 case/control matching (04:677-692) and SMOTEENN resampling (04:694-702).
-
-TPU design: the min-max update is ONE jitted step — both gradient passes and
-both optimizer updates fused into a single XLA program over the full batch
-(the reference's two ``backward()`` calls per iteration become two
-``jax.grad`` calls in the same graph).  SMOTEENN runs host-side via imblearn
-when available; otherwise a documented fallback (random minority
-oversampling) keeps the pipeline runnable.
+SMOTEENN runs host-side via imblearn when available; otherwise a documented
+fallback (random minority oversampling) keeps the pipeline runnable.
 """
 
 from __future__ import annotations
@@ -148,31 +168,38 @@ def train_adversarial(
     p_state = p_tx.init(p_params)
     a_state = a_tx.init(a_params)
 
-    def pred_loss(pp, ap):
-        logits = pred.apply({"params": pp}, X_d)
+    def joint_loss(pp, ap, dropout_key):
+        """Scalar whose per-side gradients equal the reference's summed
+        ``.grad`` buffers after both backward() calls (04:724-731): the
+        predictor side sees ``combined + L_adv`` through the un-detached
+        ``y_hat``, the adversary side sees ``L_adv + combined``."""
+        train = dropout_key is not None
+        kp = ka = None
+        if train:
+            kp, ka = jax.random.split(dropout_key)
+        logits = pred.apply({"params": pp}, X_d, deterministic=not train,
+                            rngs={"dropout": kp} if train else None)
         l_pred = _bce(logits, y_d)
         if not cfg.adversarial:
-            return l_pred, (l_pred, jnp.float32(0.0))
+            return l_pred, (l_pred, l_pred, jnp.float32(0.0))
         yhat = jax.nn.sigmoid(logits)
         adv_in = jnp.concatenate([yhat, y_d], axis=1)
-        l_adv = _bce(adv.apply({"params": ap}, adv_in), z_d)
+        l_adv = _bce(adv.apply({"params": ap}, adv_in,
+                               deterministic=not train,
+                               rngs={"dropout": ka} if train else None), z_d)
         combined = l_pred - cfg.alpha * l_adv + l_pred / (l_adv + 1e-8)
-        return combined, (l_pred, l_adv)
-
-    def adv_loss(ap, pp):
-        logits = pred.apply({"params": pp}, X_d)
-        yhat = jax.nn.sigmoid(logits)
-        adv_in = jnp.concatenate([yhat, y_d], axis=1)
-        return _bce(adv.apply({"params": ap}, adv_in), z_d)
+        return combined + l_adv, (combined, l_pred, l_adv)
 
     @jax.jit
-    def step(pp, ps, ap, as_):
-        (combined, (l_pred, l_adv)), p_grads = jax.value_and_grad(
-            pred_loss, has_aux=True)(pp, ap)
+    def step(pp, ps, ap, as_, dropout_key):
+        # Both grads at the OLD params, both Adam steps applied after —
+        # matching torch's backward/backward/step/step order (04:724-731).
+        (_, (combined, l_pred, l_adv)), (p_grads, a_grads) = (
+            jax.value_and_grad(joint_loss, argnums=(0, 1), has_aux=True)(
+                pp, ap, dropout_key))
         p_updates, ps = p_tx.update(p_grads, ps, pp)
         pp = optax.apply_updates(pp, p_updates)
         if cfg.adversarial:
-            a_grads = jax.grad(adv_loss)(ap, pp)
             a_updates, as_ = a_tx.update(a_grads, as_, ap)
             ap = optax.apply_updates(ap, a_updates)
         return pp, ps, ap, as_, combined, l_pred, l_adv
@@ -184,6 +211,9 @@ def train_adversarial(
 
     @jax.jit
     def valid_losses(pp, ap):
+        # Deterministic — the reference leaves dropout ON here too (the
+        # modules are never .eval()'d, 04:735-744); replicating that would
+        # add pure noise to a logging-only value, so we don't (PARITY.md).
         logits = pred.apply({"params": pp}, Xv)
         l_pred = _bce(logits, yv)
         if not cfg.adversarial:
@@ -192,9 +222,13 @@ def train_adversarial(
         l_adv = _bce(adv.apply({"params": ap}, jnp.concatenate([yhat, yv], 1)), zv)
         return l_pred - cfg.alpha * l_adv + l_pred / (l_adv + 1e-8)
 
+    dropout_root = (jax.random.PRNGKey(cfg.seed + 1)
+                    if cfg.dropout_rate > 0 else None)
     for t in range(cfg.num_iters):
+        kt = (None if dropout_root is None
+              else jax.random.fold_in(dropout_root, t))
         p_params, p_state, a_params, a_state, combined, l_pred, l_adv = step(
-            p_params, p_state, a_params, a_state)
+            p_params, p_state, a_params, a_state, kt)
         if t % log_every == 0:
             vl = float(valid_losses(p_params, a_params))
             train_curve.append(float(combined))

@@ -867,3 +867,298 @@ def test_dfc_end_to_end_matches_torch():
     grads_sd = dfc_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
     n = _compare_grads(grads_sd, ref, atol=1e-4)
     assert n > 30
+
+
+# --- 04 AdvDebias: the full min-max training loop ----------------------------
+#
+# Unlike the forward/loss oracles above, this one runs the PRODUCTION
+# ``train_adversarial`` for 20 full-batch iterations and compares the whole
+# trajectory (per-iteration combined loss, final params of BOTH networks)
+# against a verbatim torch replica of 04_AdvDebias.py:664-731 — Sequential
+# predictor/adversary with in-module Sigmoid + BCELoss, and the reference's
+# exact backward(retain_graph=True)/backward()/step()/step() order, whose
+# .grad accumulation makes the update NOT a textbook min-max (see
+# train/adversarial.py module doc).  Dropout 0 so both sides are
+# deterministic.
+
+def test_adv_debias_training_matches_torch():
+    from fairmultimodal_tpu.train.adversarial import (
+        AdvConfig, AdvAdversary, AdvPredictor, train_adversarial)
+
+    rng = np.random.default_rng(11)
+    n, f = 48, 7
+    X = rng.normal(0, 1, (n, f)).astype(np.float32)
+    y = rng.integers(0, 2, n).astype(np.float32)
+    z = rng.integers(0, 2, n).astype(np.float32)
+    nv = 24
+    Xv = rng.normal(0, 1, (nv, f)).astype(np.float32)
+    yv = rng.integers(0, 2, nv).astype(np.float32)
+    zv = rng.integers(0, 2, nv).astype(np.float32)
+
+    cfg = AdvConfig(learning_rate=1e-2, num_iters=20, num_nodes=8,
+                    num_nodes_adv=6, dropout_rate=0.0, alpha=1.0, seed=3)
+    out = train_adversarial(X, y, z, Xv, yv, zv, cfg, verbose=False,
+                            log_every=1)
+
+    # Rebuild the exact Flax init (same code path as train_adversarial).
+    key = jax.random.PRNGKey(cfg.seed)
+    k1, k2 = jax.random.split(key)
+    p0 = AdvPredictor(cfg.num_nodes, 0.0).init(
+        k1, jnp.asarray(X[:1]))["params"]
+    a0 = AdvAdversary(cfg.num_nodes_adv, 0.0).init(
+        k2, jnp.zeros((1, 2)))["params"]
+
+    def mlp_sd(p):
+        return {
+            "0.weight": torch.tensor(np.asarray(p["fc1"]["kernel"]).T),
+            "0.bias": torch.tensor(np.asarray(p["fc1"]["bias"])),
+            "3.weight": torch.tensor(np.asarray(p["fc2"]["kernel"]).T),
+            "3.bias": torch.tensor(np.asarray(p["fc2"]["bias"])),
+        }
+
+    # Verbatim reference architecture (04:624-655) + training loop
+    # (04:714-731).
+    model = torch.nn.Sequential(
+        torch.nn.Linear(f, cfg.num_nodes), torch.nn.ReLU(),
+        torch.nn.Dropout(0.0), torch.nn.Linear(cfg.num_nodes, 1),
+        torch.nn.Sigmoid())
+    adv_model = torch.nn.Sequential(
+        torch.nn.Linear(2, cfg.num_nodes_adv), torch.nn.ReLU(),
+        torch.nn.Dropout(0.0), torch.nn.Linear(cfg.num_nodes_adv, 1),
+        torch.nn.Sigmoid())
+    model.load_state_dict(mlp_sd(p0))
+    adv_model.load_state_dict(mlp_sd(a0))
+    bce = torch.nn.BCELoss()
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.learning_rate)
+    adv_opt = torch.optim.Adam(adv_model.parameters(), lr=cfg.learning_rate)
+
+    Xt = torch.tensor(X)
+    yt = torch.tensor(y).view(-1, 1)
+    zt = torch.tensor(z)
+    ref_curve = []
+    for _ in range(cfg.num_iters):
+        ypred = model(Xt)
+        loss_train = bce(ypred, yt)
+        zpred = adv_model(torch.cat((ypred, yt), dim=1))
+        adv_loss_train = bce(zpred.squeeze(), zt)
+        combined = (loss_train - cfg.alpha * adv_loss_train
+                    + loss_train / (adv_loss_train + 1e-8))
+        opt.zero_grad()
+        adv_opt.zero_grad()
+        adv_loss_train.backward(retain_graph=True)
+        combined.backward()
+        opt.step()
+        adv_opt.step()
+        ref_curve.append(combined.item())
+
+    np.testing.assert_allclose(out["train_curve"], ref_curve,
+                               atol=1e-4, rtol=1e-4)
+
+    final_p = mlp_sd(jax.tree_util.tree_map(np.asarray,
+                                            out["predictor_params"]))
+    for k, v in model.state_dict().items():
+        np.testing.assert_allclose(final_p[k].numpy(), v.numpy(), atol=1e-4,
+                                   err_msg=f"predictor {k}")
+    final_a = mlp_sd(jax.tree_util.tree_map(np.asarray,
+                                            out["adversary_params"]))
+    for k, v in adv_model.state_dict().items():
+        np.testing.assert_allclose(final_a[k].numpy(), v.numpy(), atol=1e-4,
+                                   err_msg=f"adversary {k}")
+
+
+# --- 06 FairEHR-CLP contrastive mode -----------------------------------------
+#
+# The reference defines the FairEHR_CLP stack + contrastive loss
+# (06_FairEHR-CLP.py:280-353,439-487) but never trains it (train_pipeline
+# uses the plain two-branch model, covered by the 07 oracle above since it is
+# the same StructTextModel).  Our contrastive mode is the working version of
+# that stack; this oracle pins (a) ``contrastive_loss`` against the verbatim
+# reference formula (the python exp/sum loop + synthetic-variance
+# regularizer), exactly, and (b) the full FairEHRCLP assembly + joint
+# focal+contrastive loss + gradients against a torch replica.  The replica's
+# DemographicEncoder/NotesEncoder-projection/FusionModule/DynamicRelevance/
+# Classifier are reference-verbatim; its LongitudinalEncoder follows OUR
+# documented shape-corrected design (the reference's only shape-checks when
+# embed_dim == conv_out_channels; see models/fairehr.py module doc).
+
+CLP_DEMO_DIM, CLP_DEMO_HID, CLP_EMB, CLP_FUS, CLP_LABS = 4, 8, 16, 16, 10
+CLP_CONV, CLP_HEADS, CLP_FFN = 256, 8, 512   # LongitudinalEncoder defaults
+
+
+def reference_contrastive(e_real, e_syn, tau=0.5, gamma=0.1):
+    """Verbatim semantics of 06:472-487 (python loop and all)."""
+    import torch.nn.functional as F
+
+    batch_size = e_real.size(0)
+    rn = F.normalize(e_real, p=2, dim=1)
+    sn = F.normalize(e_syn, p=2, dim=1)
+    sim = torch.mm(rn, sn.t()) / tau
+    positives = sim.diag()
+    loss = 0.0
+    for i in range(batch_size):
+        loss = loss + -torch.log(torch.exp(positives[i])
+                                 / torch.exp(sim[i, :]).sum())
+    loss = loss / batch_size
+    mean_syn = e_syn.mean(dim=0, keepdim=True)
+    reg = torch.mean((e_syn - mean_syn).pow(2))
+    return loss + gamma * reg
+
+
+def test_contrastive_loss_matches_reference_formula():
+    from fairmultimodal_tpu.models.fairehr import contrastive_loss
+
+    rng = np.random.default_rng(7)
+    e_real = rng.normal(0, 1, (B, CLP_FUS)).astype(np.float32)
+    e_syn = rng.normal(0, 1, (B, CLP_FUS)).astype(np.float32)
+
+    ours = float(contrastive_loss(jnp.asarray(e_real), jnp.asarray(e_syn)))
+    ref = reference_contrastive(torch.tensor(e_real), torch.tensor(e_syn))
+    assert ours == pytest.approx(ref.item(), abs=1e-6)
+
+    # The masked variant with weight == ones must agree with the unmasked
+    # reference too (the pipeline always passes the pad mask).
+    ours_w = float(contrastive_loss(jnp.asarray(e_real), jnp.asarray(e_syn),
+                                    weight=jnp.ones(B)))
+    assert ours_w == pytest.approx(ref.item(), abs=1e-6)
+
+
+def clp_flax_to_torch(params):
+    t = {}
+    t["demo_encoder.mlp.0.weight"], t["demo_encoder.mlp.0.bias"] = _dense(
+        params["demo_encoder"]["fc1"])
+    t["demo_encoder.mlp.2.weight"], t["demo_encoder.mlp.2.bias"] = _dense(
+        params["demo_encoder"]["fc2"])
+    le = params["long_encoder"]
+    t["long_encoder.feature_embedding.weight"], \
+        t["long_encoder.feature_embedding.bias"] = _dense(
+            le["feature_embedding"])
+    # flax Conv kernel [k, in, out] -> torch Conv1d weight [out, in, k].
+    t["long_encoder.conv1d.weight"] = np.transpose(
+        np.asarray(le["conv"]["kernel"]), (2, 1, 0))
+    t["long_encoder.conv1d.bias"] = le["conv"]["bias"]
+    for i in range(2):
+        t.update(_torch_layer_sd(le[f"layer_{i}"],
+                                 f"long_encoder.encoder.layers.{i}"))
+    t["long_encoder.proj.weight"], t["long_encoder.proj.bias"] = _dense(
+        le["proj"])
+    t["notes_encoder.proj.0.weight"], t["notes_encoder.proj.0.bias"] = _dense(
+        params["notes_encoder"]["proj"])
+    t["fusion.mlp.0.weight"], t["fusion.mlp.0.bias"] = _dense(
+        params["fusion"]["fc1"])
+    t["fusion.mlp.2.weight"], t["fusion.mlp.2.bias"] = _dense(
+        params["fusion"]["fc2"])
+    t["dr.weights"] = params["dr"]["weights"]
+    t["classifier.mlp.0.weight"], t["classifier.mlp.0.bias"] = _dense(
+        params["classifier_hidden"])
+    t["classifier.mlp.3.weight"], t["classifier.mlp.3.bias"] = _dense(
+        params["classifier"])
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+class TorchFairEHRCLP(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.demo_encoder = nn.Module()
+        self.demo_encoder.mlp = nn.Sequential(
+            nn.Linear(CLP_DEMO_DIM, CLP_DEMO_HID), nn.ReLU(),
+            nn.Linear(CLP_DEMO_HID, CLP_DEMO_HID))
+        self.long_encoder = nn.Module()
+        self.long_encoder.feature_embedding = nn.Linear(1, CLP_EMB)
+        self.long_encoder.conv1d = nn.Conv1d(CLP_EMB, CLP_CONV, 3, padding=1)
+        layer = nn.TransformerEncoderLayer(
+            CLP_CONV, CLP_HEADS, dim_feedforward=CLP_FFN, batch_first=True)
+        self.long_encoder.encoder = nn.TransformerEncoder(layer, 2)
+        self.long_encoder.proj = nn.Linear(CLP_CONV, CLP_EMB)
+        self.notes_encoder = nn.Module()
+        self.notes_encoder.proj = nn.Sequential(
+            nn.Linear(CLP_EMB, CLP_EMB), nn.ReLU())
+        fusion_in = CLP_DEMO_HID + 2 * CLP_EMB
+        self.fusion = nn.Module()
+        self.fusion.mlp = nn.Sequential(
+            nn.Linear(fusion_in, CLP_FUS), nn.ReLU(),
+            nn.Linear(CLP_FUS, CLP_FUS))
+        self.dr = nn.Module()
+        self.dr.weights = nn.Parameter(torch.ones(CLP_FUS))
+        self.classifier = nn.Module()
+        self.classifier.mlp = nn.Sequential(
+            nn.Linear(CLP_FUS, CLP_FUS // 2), nn.ReLU(), nn.Dropout(0.1),
+            nn.Linear(CLP_FUS // 2, 3))
+
+    def _long(self, x):
+        h = self.long_encoder.feature_embedding(x.unsqueeze(-1))   # [B, F, E]
+        h = self.long_encoder.conv1d(h.transpose(1, 2)).transpose(1, 2)
+        h = self.long_encoder.encoder(h)                           # [B, F, C]
+        return self.long_encoder.proj(h.mean(dim=1))
+
+    def _fuse(self, demo, lab, text):
+        e = torch.cat([self.demo_encoder.mlp(demo), self._long(lab),
+                       self.notes_encoder.proj(text)], dim=1)
+        fused = self.fusion.mlp(e)
+        return torch.sigmoid(self.dr.weights) * fused
+
+    def forward(self, b):
+        e_adj = self._fuse(b["demo_features"], b["lab_features"],
+                           b["text_embedding"])
+        e_adj_syn = self._fuse(b["demo_features_syn"], b["lab_features_syn"],
+                               b["text_embedding_syn"])
+        logits = self.classifier.mlp(e_adj)
+        return logits, e_adj, e_adj_syn
+
+
+def test_fairehr_clp_end_to_end_matches_torch():
+    from fairmultimodal_tpu.models.fairehr import FairEHRCLP, contrastive_loss
+
+    rng = np.random.default_rng(13)
+    batch = {
+        "demo_features": rng.normal(0, 1, (B, CLP_DEMO_DIM)).astype(np.float32),
+        "lab_features": rng.normal(0, 1, (B, CLP_LABS)).astype(np.float32),
+        "text_embedding": rng.normal(0, 1, (B, CLP_EMB)).astype(np.float32),
+    }
+    for k in list(batch):
+        batch[k + "_syn"] = (batch[k]
+                             + 0.05 * rng.normal(0, 1, batch[k].shape)
+                             ).astype(np.float32)
+    labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
+
+    model = FairEHRCLP(num_tasks=3, demo_hidden=CLP_DEMO_HID,
+                       embed_dim=CLP_EMB, fusion_dim=CLP_FUS)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(13, impl="threefry2x32"), jb)["params"]
+
+    ref = TorchFairEHRCLP()
+    sd = clp_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+    ref.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+    ref.eval()
+
+    tb = {k: torch.tensor(v) for k, v in batch.items()}
+    logits_ref, e_adj_ref, e_syn_ref = ref(tb)
+    out = model.apply({"params": params}, jb, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               logits_ref.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["e_adj"]),
+                               e_adj_ref.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["e_adj_syn"]),
+                               e_syn_ref.detach().numpy(), atol=1e-5)
+
+    # Joint loss exactly as the contrastive-mode pipeline trains it
+    # (pipelines/fairehr_clp.py): focal(γ=1, pos_weight) + 0.1 * contrastive.
+    loss_ref = (reference_focal(logits_ref, torch.tensor(labels),
+                                pos_weight=torch.tensor(POS_W))
+                + 0.1 * reference_contrastive(e_adj_ref, e_syn_ref))
+
+    def flax_loss(p):
+        o = model.apply({"params": p}, jb, deterministic=True)
+        return (masked_task_loss(o["logits"], jnp.asarray(labels),
+                                 jnp.ones(B), loss="focal", gamma=1.0,
+                                 pos_weight=jnp.asarray(POS_W))
+                + 0.1 * contrastive_loss(o["e_adj"], o["e_adj_syn"],
+                                         weight=jnp.ones(B)))
+
+    loss, grads = jax.value_and_grad(flax_loss)(params)
+    assert float(loss) == pytest.approx(loss_ref.item(), abs=1e-6)
+
+    loss_ref.backward()
+    grads_sd = clp_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
+    n = _compare_grads(grads_sd, ref, atol=1e-4)
+    assert n > 25
