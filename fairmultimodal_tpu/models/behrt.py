@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from fairmultimodal_tpu.models.bert import BertConfig, BertEncoderModel
+from fairmultimodal_tpu.models.bert import (
+    BertConfig,
+    BertEncoderModel,
+    _DenseParams,
+    _LayerNormParams,
+)
 from fairmultimodal_tpu.ops.attention import multi_head_attention
 from fairmultimodal_tpu.ops.fused_attention_block import (
     can_use_fused_attention_block,
@@ -39,43 +44,6 @@ from fairmultimodal_tpu.ops.fused_ffn import (
 )
 
 __all__ = ["BEHRTDemo", "BEHRTLab", "BEHRTCombined", "TorchEncoderLayer"]
-
-
-class _LayerNormParams(nn.Module):
-    """Parameter-only stand-in for ``nn.LayerNorm`` (scale/bias, same names,
-    shapes, and initializers), used when the LN is folded into a Pallas
-    epilogue — checkpoints stay interchangeable with the XLA path."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones_init(),
-                           (self.features,))
-        bias = self.param("bias", nn.initializers.zeros_init(),
-                          (self.features,))
-        return scale, bias
-
-
-class _DenseParams(nn.Module):
-    """Parameter-only stand-in for ``nn.Dense``.
-
-    Declares ``kernel``/``bias`` with nn.Dense's exact initializers, shapes,
-    and param names so the param tree (and the per-param init RNG folding,
-    which depends only on the module path + param name) is bit-identical to a
-    real ``nn.Dense`` — checkpoints are interchangeable between the XLA and
-    Pallas FFN paths.
-    """
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", nn.linear.default_kernel_init,
-                            (self.in_features, self.features))
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        return kernel, bias
 
 
 class TorchEncoderLayer(nn.Module):

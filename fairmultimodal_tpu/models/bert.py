@@ -13,6 +13,16 @@ numerically equivalent.  Attention goes through
 ``fairmultimodal_tpu.ops.multi_head_attention`` (Pallas on TPU for aligned
 shapes).  Matmuls run in ``dtype`` (bf16 on TPU by default at call sites);
 layernorm statistics and softmax accumulate in fp32.
+
+Megakernel path (round 3): in deterministic mode on TPU with aligned
+geometry (256 <= S <= 1024, d_head <= 128 — i.e. the [128, 512] note-encode
+batches, NOT the S=1 demo or S=128 DfC shapes), each layer runs as exactly
+two Pallas calls: ``fused_attention_block_ln`` (qkv + softmax + out-proj +
+residual + LN, ln_eps 1e-12) and ``fused_ffn_ln(activation="gelu")`` (exact
+erf-gelu FFN + residual + LN).  Param trees are bit-identical to the XLA
+path (parameter-only stand-in modules), so HF-converted weights load
+unchanged.  Training mode always takes the XLA path — the text encoder is
+frozen everywhere in the reference (02:405-470, 10_FAME.py:100-150).
 """
 
 from __future__ import annotations
@@ -20,13 +30,56 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from fairmultimodal_tpu.ops.attention import multi_head_attention
+from fairmultimodal_tpu.ops.fused_attention_block import (
+    can_use_fused_attention_block,
+    fused_attention_block_ln,
+)
+from fairmultimodal_tpu.ops.fused_ffn import can_use_fused_ffn, fused_ffn_ln
 
 __all__ = ["BertConfig", "BertEncoderModel", "bio_clinical_bert_config",
            "load_hf_bert_params"]
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter-only stand-in for ``nn.LayerNorm`` (scale/bias, same names,
+    shapes, and initializers), used when the LN is folded into a Pallas
+    epilogue — checkpoints stay interchangeable with the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense``.
+
+    Declares ``kernel``/``bias`` with nn.Dense's exact initializers, shapes,
+    and param names so the param tree (and the per-param init RNG folding,
+    which depends only on the module path + param name) is bit-identical to a
+    real ``nn.Dense`` — checkpoints are interchangeable between the XLA and
+    Pallas paths.
+    """
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +128,9 @@ class BertEmbeddings(nn.Module):
 class BertSelfAttention(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
+    # None = auto (deterministic + TPU + aligned geometry); True/False forces
+    # the Pallas megakernel path (tests force True with the interpreter).
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, hidden, mask, deterministic=True):
@@ -82,6 +138,24 @@ class BertSelfAttention(nn.Module):
         h, nh = c.hidden_size, c.num_attention_heads
         d = h // nh
         b, s, _ = hidden.shape
+
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = (deterministic
+                         and can_use_fused_attention_block(
+                             hidden.astype(self.dtype), nh))
+        if use_fused:
+            wq, bq = _DenseParams(h, h, name="query")()
+            wk, bk = _DenseParams(h, h, name="key")()
+            wv, bv = _DenseParams(h, h, name="value")()
+            wo, bo = _DenseParams(h, h, name="output_dense")()
+            gamma, beta = _LayerNormParams(h, name="output_layer_norm")()
+            cst = lambda a: a.astype(self.dtype)
+            return fused_attention_block_ln(
+                hidden.astype(self.dtype), cst(wq), cst(bq), cst(wk), cst(bk),
+                cst(wv), cst(bv), cst(wo), cst(bo), gamma, beta, mask,
+                jnp.zeros((1,), jnp.int32), nh, c.hidden_dropout_prob,
+                True, jax.default_backend() != "tpu", c.layer_norm_eps)
 
         def heads(name):
             y = nn.Dense(h, dtype=self.dtype, name=name)(hidden)
@@ -100,12 +174,38 @@ class BertSelfAttention(nn.Module):
 class BertLayer(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, hidden, mask, deterministic=True):
         c = self.config
-        x = BertSelfAttention(c, dtype=self.dtype, name="attention")(
-            hidden, mask, deterministic)
+        h = c.hidden_size
+        x = BertSelfAttention(c, dtype=self.dtype, fused=self.fused,
+                              name="attention")(hidden, mask, deterministic)
+
+        use_fused = self.fused
+        if use_fused is None:
+            # The attention-geometry gate (S >= 256) is applied to the FFN
+            # too so the fused path engages ONLY on note-encode shapes —
+            # the S=1 demo-BERT and S=128 DfC forwards keep their measured
+            # XLA lowering (tiny-row Pallas dispatches lose there).
+            use_fused = (deterministic
+                         and can_use_fused_ffn(x.astype(self.dtype), h,
+                                               c.intermediate_size)
+                         and can_use_fused_attention_block(
+                             x.astype(self.dtype), c.num_attention_heads))
+        if use_fused:
+            b, s, _ = x.shape
+            w1, b1 = _DenseParams(h, c.intermediate_size, name="intermediate")()
+            w2, b2 = _DenseParams(c.intermediate_size, h, name="output")()
+            gamma, beta = _LayerNormParams(h, name="output_layer_norm")()
+            cst = lambda a: a.astype(self.dtype)
+            return fused_ffn_ln(
+                x.reshape(b * s, h).astype(self.dtype), cst(w1), cst(b1),
+                cst(w2), cst(b2), gamma, beta, jnp.zeros((2,), jnp.int32),
+                c.hidden_dropout_prob, True, jax.default_backend() != "tpu",
+                "gelu", c.layer_norm_eps).reshape(b, s, h)
+
         y = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(x)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(y)
@@ -125,6 +225,7 @@ class BertEncoderModel(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
     add_pooler: bool = False
+    fused: Optional[bool] = None   # None = auto per-layer (see BertLayer)
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
@@ -133,8 +234,8 @@ class BertEncoderModel(nn.Module):
         x = BertEmbeddings(c, dtype=self.dtype, name="embeddings")(
             input_ids, token_type_ids, deterministic)
         for i in range(c.num_hidden_layers):
-            x = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
-                x, attention_mask, deterministic)
+            x = BertLayer(c, dtype=self.dtype, fused=self.fused,
+                          name=f"layer_{i}")(x, attention_mask, deterministic)
         if pool == "cls":
             return x[:, 0, :]
         if pool == "pooler" or self.add_pooler:

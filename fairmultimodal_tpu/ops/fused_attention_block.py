@@ -486,10 +486,10 @@ fused_attention_block.defvjp(_vjp_fwd, _vjp_bwd)
 # (``pltpu.prng_seed(seed + b)``) — the on-core PRNG is deterministic.
 
 
-def _ln_rows(zz):
+def _ln_rows(zz, eps=_LN_EPS):
     mu = jnp.mean(zz, axis=-1, keepdims=True)
     var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    rstd = jax.lax.rsqrt(var + eps)
     return (zz - mu) * rstd
 
 
@@ -499,7 +499,7 @@ def _mega_ln_fwd_kernel(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                         out_ref, q_ref, k_ref, v_ref, o_ref, z_ref,
                         acc_ref, *, scale: float, dp: int,
                         keep_threshold: int, inv_keep: float,
-                        apply_dropout: bool):
+                        apply_dropout: bool, ln_eps: float):
     bi = pl.program_id(0)
     hh = pl.program_id(1)
     nh = pl.num_programs(1)
@@ -547,7 +547,7 @@ def _mega_ln_fwd_kernel(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             y = jnp.where(bits < jnp.uint32(keep_threshold), y * inv_keep, 0.0)
         z = (x.astype(jnp.float32) + y).astype(z_ref.dtype)
         z_ref[0] = z
-        xhat = _ln_rows(z.astype(jnp.float32))
+        xhat = _ln_rows(z.astype(jnp.float32), ln_eps)
         out = (xhat * gamma_ref[:].astype(jnp.float32)
                + beta_ref[:].astype(jnp.float32))
         out_ref[0] = out.astype(out_ref.dtype)
@@ -555,7 +555,7 @@ def _mega_ln_fwd_kernel(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
 def _fwd_ln_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
                  *, num_heads: int, rate: float, deterministic: bool,
-                 interpret: bool):
+                 interpret: bool, ln_eps: float = _LN_EPS):
     b, s, h = x.shape
     d = h // num_heads
     dp = _round_up(d, 128)
@@ -598,7 +598,7 @@ def _fwd_ln_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
             _mega_ln_fwd_kernel, scale=scale, dp=dp,
             keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
             inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
-            apply_dropout=apply_dropout),
+            apply_dropout=apply_dropout, ln_eps=ln_eps),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((b, s, h), x.dtype),
                    qshape, qshape, qshape, qshape,
@@ -623,7 +623,8 @@ def _mega_ln_bwd_kernel(seed_ref, g_ref, x_ref, q_ref, k_ref, v_ref, o_ref,
                         dgamma_ref, dbeta_ref,
                         dx_acc, da_acc, dwq_acc, dwk_acc, dwv_acc, dwo_acc,
                         *, scale: float, dp: int, keep_threshold: int,
-                        inv_keep: float, apply_dropout: bool):
+                        inv_keep: float, apply_dropout: bool,
+                        ln_eps: float):
     bi = pl.program_id(0)
     nb = pl.num_programs(0)
     hh = pl.program_id(1)
@@ -645,7 +646,7 @@ def _mega_ln_bwd_kernel(seed_ref, g_ref, x_ref, q_ref, k_ref, v_ref, o_ref,
         hdim = zz.shape[-1]
         mu = jnp.mean(zz, axis=-1, keepdims=True)
         var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + _LN_EPS)
+        rstd = jax.lax.rsqrt(var + ln_eps)
         xhat = (zz - mu) * rstd
         gg = g32 * gamma_ref[:].astype(jnp.float32)
         m1 = jnp.sum(gg, axis=-1, keepdims=True) / hdim
@@ -751,7 +752,8 @@ def _mega_ln_bwd_kernel(seed_ref, g_ref, x_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _bwd_ln_impl(g, x, q, k, v, o, z, packed, gamma, mask, seed, *,
                  num_heads: int, dp: int, scale: float, rate: float,
-                 deterministic: bool, interpret: bool):
+                 deterministic: bool, interpret: bool,
+                 ln_eps: float = _LN_EPS):
     b, s, h = x.shape
     stripes = num_heads * dp
     wq, wk, wv, wo = packed
@@ -800,7 +802,7 @@ def _bwd_ln_impl(g, x, q, k, v, o, z, packed, gamma, mask, seed, *,
             _mega_ln_bwd_kernel, scale=scale, dp=dp,
             keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
             inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
-            apply_dropout=apply_dropout),
+            apply_dropout=apply_dropout, ln_eps=ln_eps),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, s, h), g.dtype),
@@ -827,30 +829,32 @@ def _bwd_ln_impl(g, x, q, k, v, o, z, packed, gamma, mask, seed, *,
     return dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dgamma, dbeta
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
 def fused_attention_block_ln(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta,
                              mask, seed, num_heads: int = 8,
                              rate: float = 0.1, deterministic: bool = True,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             ln_eps: float = _LN_EPS):
     """Attention half-layer: ``LayerNorm(x + dropout(attn_block(x)))``.
 
     Same weights/mask contract as :func:`fused_attention_block` plus the
     norm1 ``gamma``/``beta`` [H] and a [1] int32 dropout ``seed`` (ignored
-    when deterministic).  Returns [B, S, H] in ``x.dtype``.
+    when deterministic).  ``ln_eps`` is the LayerNorm epsilon (flax default
+    1e-6; BERT uses 1e-12).  Returns [B, S, H] in ``x.dtype``.
     """
     out, _, _, _, _, _ = _fwd_ln_impl(
         x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
         num_heads=num_heads, rate=rate, deterministic=deterministic,
-        interpret=interpret)
+        interpret=interpret, ln_eps=ln_eps)
     return out
 
 
 def _vjp_ln_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
-                num_heads, rate, deterministic, interpret):
+                num_heads, rate, deterministic, interpret, ln_eps):
     out, q, k, v, o, z = _fwd_ln_impl(
         x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
         num_heads=num_heads, rate=rate, deterministic=deterministic,
-        interpret=interpret)
+        interpret=interpret, ln_eps=ln_eps)
     b, s, h = x.shape
     d = h // num_heads
     dp = _round_up(d, 128)
@@ -861,7 +865,8 @@ def _vjp_ln_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
     return out, (x, q, k, v, o, z, packed, gamma, mask, seed)
 
 
-def _vjp_ln_bwd(num_heads, rate, deterministic, interpret, residuals, g):
+def _vjp_ln_bwd(num_heads, rate, deterministic, interpret, ln_eps,
+                residuals, g):
     x, q, k, v, o, z, packed, gamma, mask, seed = residuals
     b, s, h = x.shape
     d = h // num_heads
@@ -871,7 +876,7 @@ def _vjp_ln_bwd(num_heads, rate, deterministic, interpret, residuals, g):
      dbeta) = _bwd_ln_impl(
         g, x, q, k, v, o, z, packed, gamma, mask, seed,
         num_heads=num_heads, dp=dp, scale=scale, rate=rate,
-        deterministic=deterministic, interpret=interpret)
+        deterministic=deterministic, interpret=interpret, ln_eps=ln_eps)
 
     def uin(w, ref):
         return _unpack_in(w, num_heads, d, dp).reshape(h, h).astype(ref.dtype)

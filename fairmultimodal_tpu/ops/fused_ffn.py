@@ -69,6 +69,39 @@ _LN_EPS = 1e-6   # flax nn.LayerNorm default (the XLA path's epsilon)
 
 _VMEM_LIMIT = 100 * 1024 * 1024  # measured physical VMEM on v5e: 128 MB
 
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT2PI = 0.3989422804014327
+
+
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational erf, |abs err| <= 1.5e-7.
+
+    Mosaic has no ``erf`` lowering (probed on v5e); this is exp-based and
+    fully vectorizable.  The error is ~100x below bf16 resolution and two
+    decades below the 1e-5 parity tolerance of the exact-gelu XLA path.
+    """
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + p * z)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu(u):
+    """Exact (erf-based) gelu on fp32, matching ``nn.gelu(approximate=False)``
+    — the BERT activation (models/bert.py:110)."""
+    return 0.5 * u * (1.0 + _erf_approx(u * _INV_SQRT2))
+
+
+def _dgelu(u):
+    """gelu'(u) = Phi(u) + u * phi(u)."""
+    phi = _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
+    cdf = 0.5 * (1.0 + _erf_approx(u * _INV_SQRT2))
+    return cdf + u * phi
+
 
 def _pick_block(r: int) -> int:
     # 512 rows keeps the dW contraction dim (= block) MXU-efficient and the
@@ -88,36 +121,47 @@ def _pad_rows(x: jax.Array, rp: int) -> jax.Array:
 
 def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 out_ref, hd_ref, *, keep_threshold: int, inv_keep: float,
-                apply_dropout: bool):
+                apply_dropout: bool, activation: str):
     x = x_ref[:]                                             # [BR, H]
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)                    # [BR, F] fp32
-    h = jnp.maximum(h, 0.0)
-    if apply_dropout:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
-        keep = bits < jnp.uint32(keep_threshold)
-        h = jnp.where(keep, h * inv_keep, 0.0)
-    hd = h.astype(hd_ref.dtype)
-    hd_ref[:] = hd
-    out = jnp.dot(hd, w2_ref[:], preferred_element_type=jnp.float32)
+    if activation == "relu":
+        h = jnp.maximum(h, 0.0)
+        if apply_dropout:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
+            keep = bits < jnp.uint32(keep_threshold)
+            h = jnp.where(keep, h * inv_keep, 0.0)
+        hd = h.astype(hd_ref.dtype)       # post-relu/post-dropout residual
+        hd_ref[:] = hd
+        a = hd
+    else:                                 # gelu: no inner dropout (BERT FFN)
+        hd_ref[:] = h.astype(hd_ref.dtype)           # PRE-activation residual
+        a = _gelu(h).astype(hd_ref.dtype)
+    out = jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
     out_ref[:] = (out + b2_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
 def _fwd_impl(x, w1, b1, w2, b2, seed, *, rate: float, deterministic: bool,
-              interpret: bool) -> Tuple[jax.Array, jax.Array]:
+              interpret: bool,
+              activation: str = "relu") -> Tuple[jax.Array, jax.Array]:
     r, hdim = x.shape
     fdim = w1.shape[1]
     block = _pick_block(r)
     rp = pl.cdiv(r, block) * block
     xp = _pad_rows(x, rp)
     apply_dropout = (not deterministic) and rate > 0.0
+    if activation != "relu":
+        assert activation == "gelu", activation
+        # BERT's FFN has no inner dropout (models/bert.py:109-111); the gelu
+        # residual strategy (store pre-activation) cannot recover a mask.
+        assert not apply_dropout, "gelu FFN supports no inner dropout"
     keep_prob = 1.0 - rate
     kernel = functools.partial(
         _fwd_kernel,
         keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
         inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
-        apply_dropout=apply_dropout)
+        apply_dropout=apply_dropout, activation=activation)
     # index maps receive (grid idx, scalar-prefetch ref) under
     # PrefetchScalarGridSpec — hence the extra unused argument.
     row = lambda i, s: (i, 0)
@@ -147,7 +191,7 @@ def _fwd_impl(x, w1, b1, w2, b2, seed, *, rate: float, deterministic: bool,
             flops=4 * rp * hdim * fdim,
             bytes_accessed=(rp * hdim * 2 + rp * fdim + 2 * hdim * fdim)
             * x.dtype.itemsize,
-            transcendentals=0,
+            transcendentals=rp * fdim if activation == "gelu" else 0,
         ),
         interpret=interpret,
     )(seed, xp, w1, b1.reshape(1, fdim), w2, b2.reshape(1, hdim))
@@ -159,16 +203,26 @@ def _fwd_impl(x, w1, b1, w2, b2, seed, *, rate: float, deterministic: bool,
 
 
 def _bwd_kernel(x_ref, g_ref, hd_ref, w1_ref, w2_ref,
-                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, inv_keep: float):
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                inv_keep: float, activation: str):
     i = pl.program_id(0)
     g = g_ref[:]                                             # [BR, H]
     hd = hd_ref[:]                                           # [BR, F]
-    # dh = (g @ W2^T) * s, with s the combined ReLU+dropout VJP factor
-    # recovered from the stored post-dropout activation (see module doc).
+    # dh = (g @ W2^T) * s.  relu: s is the combined ReLU+dropout VJP factor
+    # recovered from the stored post-dropout activation (see module doc) and
+    # the matmul2 operand IS hd.  gelu: hd stores the pre-activation u, so
+    # s = gelu'(u) and the matmul2 operand a = gelu(u) is recomputed (VPU
+    # work, no extra residual traffic).
     dh = jax.lax.dot_general(g, w2_ref[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    # Compare in fp32: Mosaic has no bf16 vector cmpf on this target.
-    s = (hd.astype(jnp.float32) > 0).astype(jnp.float32) * inv_keep
+    if activation == "relu":
+        # Compare in fp32: Mosaic has no bf16 vector cmpf on this target.
+        s = (hd.astype(jnp.float32) > 0).astype(jnp.float32) * inv_keep
+        a = hd
+    else:
+        u = hd.astype(jnp.float32)
+        s = _dgelu(u)
+        a = _gelu(u).astype(hd.dtype)
     dh = dh * s
     dh_b = dh.astype(g.dtype)
     dx = jax.lax.dot_general(dh_b, w1_ref[:], (((1,), (1,)), ((), ())),
@@ -177,7 +231,7 @@ def _bwd_kernel(x_ref, g_ref, hd_ref, w1_ref, w2_ref,
 
     dw1_c = jax.lax.dot_general(x_ref[:], dh_b, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [H, F]
-    dw2_c = jax.lax.dot_general(hd, g, (((0,), (0,)), ((), ())),
+    dw2_c = jax.lax.dot_general(a, g, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [F, H]
     db1_c = jnp.sum(dh, axis=0, keepdims=True)                       # [1, F]
     db2_c = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)    # [1, H]
@@ -198,14 +252,15 @@ def _bwd_kernel(x_ref, g_ref, hd_ref, w1_ref, w2_ref,
 
 
 def _bwd_impl(xp, w1, w2, hd, g, *, rate: float, deterministic: bool,
-              interpret: bool):
+              interpret: bool, activation: str = "relu"):
     rp, hdim = xp.shape
     fdim = w1.shape[1]
     block = _pick_block(rp)
     assert rp % block == 0, (rp, block)  # xp/hd were padded by the forward
     apply_dropout = (not deterministic) and rate > 0.0
     kernel = functools.partial(
-        _bwd_kernel, inv_keep=1.0 / (1.0 - rate) if apply_dropout else 1.0)
+        _bwd_kernel, inv_keep=1.0 / (1.0 - rate) if apply_dropout else 1.0,
+        activation=activation)
     row = lambda i: (i, 0)
     const = lambda i: (0, 0)
     dx, dw1, db1, dw2, db2 = pl.pallas_call(
@@ -247,10 +302,11 @@ def _bwd_impl(xp, w1, w2, hd, g, *, rate: float, deterministic: bool,
 # -- custom-vjp wiring ------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def fused_ffn(x, w1, b1, w2, b2, seed, rate: float = 0.1,
-              deterministic: bool = True, interpret: bool = False):
-    """Fused FFN: ``dropout(relu(x @ w1 + b1)) @ w2 + b2``.
+              deterministic: bool = True, interpret: bool = False,
+              activation: str = "relu"):
+    """Fused FFN: ``dropout(act(x @ w1 + b1)) @ w2 + b2``.
 
     Args:
       x: [R, H] activations (bf16 or fp32).
@@ -259,30 +315,35 @@ def fused_ffn(x, w1, b1, w2, b2, seed, rate: float = 0.1,
       rate: dropout probability after the ReLU (static).
       deterministic: disables dropout (static).
       interpret: run the kernels in the Pallas interpreter (CPU tests).
+      activation: "relu" (torch TransformerEncoderLayer) or "gelu" (exact,
+        BERT intermediate; inner dropout must be off — BERT has none).
 
     Returns [R, H] in ``x.dtype``.  Differentiable via a single-kernel
     backward (see module docstring); ``seed`` gets a zero cotangent.
     """
     out, _ = _fwd_impl(x, w1, b1, w2, b2, seed, rate=rate,
-                       deterministic=deterministic, interpret=interpret)
+                       deterministic=deterministic, interpret=interpret,
+                       activation=activation)
     return out
 
 
-def _vjp_fwd(x, w1, b1, w2, b2, seed, rate, deterministic, interpret):
+def _vjp_fwd(x, w1, b1, w2, b2, seed, rate, deterministic, interpret,
+             activation):
     out, hd = _fwd_impl(x, w1, b1, w2, b2, seed, rate=rate,
-                        deterministic=deterministic, interpret=interpret)
+                        deterministic=deterministic, interpret=interpret,
+                        activation=activation)
     block = _pick_block(x.shape[0])
     xp = _pad_rows(x, pl.cdiv(x.shape[0], block) * block)
     return out, (xp, w1, w2, hd)
 
 
-def _vjp_bwd(rate, deterministic, interpret, residuals, g):
+def _vjp_bwd(rate, deterministic, interpret, activation, residuals, g):
     xp, w1, w2, hd = residuals
     r = g.shape[0]
     gp = _pad_rows(g, xp.shape[0])
     dx, dw1, db1, dw2, db2 = _bwd_impl(
         xp, w1, w2, hd, gp, rate=rate, deterministic=deterministic,
-        interpret=interpret)
+        interpret=interpret, activation=activation)
     dseed = np.zeros((1,), jax.dtypes.float0)
     return (dx[:r] if xp.shape[0] != r else dx,
             dw1.astype(w1.dtype), db1.reshape(-1).astype(w1.dtype),
@@ -319,25 +380,25 @@ fused_ffn.defvjp(_vjp_fwd, _vjp_bwd)
 # int32: stream 0 = inner mask, stream 1 = outer mask.
 
 
-def _ln_fwd_math(x32, y32, gamma_ref, beta_ref, z_ref):
+def _ln_fwd_math(x32, y32, gamma_ref, beta_ref, z_ref, eps=_LN_EPS):
     """Shared epilogue: z = x + y (stored rounded), LN(z) in fp32."""
     z = (x32 + y32).astype(z_ref.dtype)
     z_ref[:] = z
     zz = z.astype(jnp.float32)
     mu = jnp.mean(zz, axis=-1, keepdims=True)
     var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    rstd = jax.lax.rsqrt(var + eps)
     xhat = (zz - mu) * rstd
     return xhat * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
 
 
-def _ln_bwd_math(g32, z, gamma_ref):
+def _ln_bwd_math(g32, z, gamma_ref, eps=_LN_EPS):
     """LN VJP from the stored z: returns (dz [BR,H], dgamma_c, dbeta_c)."""
     hdim = z.shape[-1]
     zz = z.astype(jnp.float32)
     mu = jnp.mean(zz, axis=-1, keepdims=True)
     var = jnp.mean((zz - mu) ** 2, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    rstd = jax.lax.rsqrt(var + eps)
     xhat = (zz - mu) * rstd
     gg = g32 * gamma_ref[:].astype(jnp.float32)
     m1 = jnp.sum(gg, axis=-1, keepdims=True) / hdim
@@ -350,41 +411,51 @@ def _ln_bwd_math(g32, z, gamma_ref):
 
 def _fwd_ln_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    gamma_ref, beta_ref, out_ref, hd_ref, z_ref, *,
-                   keep_threshold: int, inv_keep: float, apply_dropout: bool):
+                   keep_threshold: int, inv_keep: float, apply_dropout: bool,
+                   activation: str, ln_eps: float):
     x = x_ref[:]
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
-    h = jnp.maximum(h, 0.0)
-    if apply_dropout:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
-        h = jnp.where(bits < jnp.uint32(keep_threshold), h * inv_keep, 0.0)
-    hd = h.astype(hd_ref.dtype)
-    hd_ref[:] = hd
-    y = jnp.dot(hd, w2_ref[:], preferred_element_type=jnp.float32)
+    if activation == "relu":
+        h = jnp.maximum(h, 0.0)
+        if apply_dropout:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
+            h = jnp.where(bits < jnp.uint32(keep_threshold), h * inv_keep, 0.0)
+        hd = h.astype(hd_ref.dtype)
+        hd_ref[:] = hd
+        a = hd
+    else:                                 # gelu: no inner dropout (BERT FFN)
+        hd_ref[:] = h.astype(hd_ref.dtype)
+        a = _gelu(h).astype(hd_ref.dtype)
+    y = jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
     y = y + b2_ref[:].astype(jnp.float32)
     if apply_dropout:
         pltpu.prng_seed(seed_ref[1] + pl.program_id(0))
         obits = pltpu.bitcast(pltpu.prng_random_bits(y.shape), jnp.uint32)
         y = jnp.where(obits < jnp.uint32(keep_threshold), y * inv_keep, 0.0)
-    out = _ln_fwd_math(x.astype(jnp.float32), y, gamma_ref, beta_ref, z_ref)
+    out = _ln_fwd_math(x.astype(jnp.float32), y, gamma_ref, beta_ref, z_ref,
+                       ln_eps)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _fwd_ln_impl(x, w1, b1, w2, b2, gamma, beta, seed, *, rate: float,
-                 deterministic: bool, interpret: bool):
+                 deterministic: bool, interpret: bool,
+                 activation: str = "relu", ln_eps: float = _LN_EPS):
     r, hdim = x.shape
     fdim = w1.shape[1]
     block = _pick_block(r)
     rp = pl.cdiv(r, block) * block
     xp = _pad_rows(x, rp)
     apply_dropout = (not deterministic) and rate > 0.0
+    if activation != "relu":
+        assert activation == "gelu", activation
     keep_prob = 1.0 - rate
     kernel = functools.partial(
         _fwd_ln_kernel,
         keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
         inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
-        apply_dropout=apply_dropout)
+        apply_dropout=apply_dropout, activation=activation, ln_eps=ln_eps)
     row = lambda i, s: (i, 0)
     const = lambda i, s: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -428,10 +499,11 @@ def _bwd_ln_kernel(seed_ref, x_ref, g_ref, hd_ref, z_ref, w1_ref, w2_ref,
                    gamma_ref,
                    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                    dgamma_ref, dbeta_ref, *, inv_keep: float,
-                   keep_threshold: int, apply_dropout: bool):
+                   keep_threshold: int, apply_dropout: bool,
+                   activation: str, ln_eps: float):
     i = pl.program_id(0)
     g32 = g_ref[:].astype(jnp.float32)                        # [BR, H]
-    dz, dgamma_c, dbeta_c = _ln_bwd_math(g32, z_ref[:], gamma_ref)
+    dz, dgamma_c, dbeta_c = _ln_bwd_math(g32, z_ref[:], gamma_ref, ln_eps)
 
     # Outer-dropout mask replay (stream 1, same per-block seed as forward).
     dy = dz
@@ -444,7 +516,13 @@ def _bwd_ln_kernel(seed_ref, x_ref, g_ref, hd_ref, z_ref, w1_ref, w2_ref,
     dy_b = dy.astype(g_ref.dtype)
     dh = jax.lax.dot_general(dy_b, w2_ref[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    s = (hd.astype(jnp.float32) > 0).astype(jnp.float32) * inv_keep
+    if activation == "relu":
+        s = (hd.astype(jnp.float32) > 0).astype(jnp.float32) * inv_keep
+        a = hd
+    else:                                 # gelu: hd is the pre-activation
+        u = hd.astype(jnp.float32)
+        s = _dgelu(u)
+        a = _gelu(u).astype(hd.dtype)
     dh = dh * s
     dh_b = dh.astype(g_ref.dtype)
     dx = dz + jax.lax.dot_general(dh_b, w1_ref[:], (((1,), (1,)), ((), ())),
@@ -453,7 +531,7 @@ def _bwd_ln_kernel(seed_ref, x_ref, g_ref, hd_ref, z_ref, w1_ref, w2_ref,
 
     dw1_c = jax.lax.dot_general(x_ref[:], dh_b, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    dw2_c = jax.lax.dot_general(hd, dy_b, (((0,), (0,)), ((), ())),
+    dw2_c = jax.lax.dot_general(a, dy_b, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     db1_c = jnp.sum(dh, axis=0, keepdims=True)
     db2_c = jnp.sum(dy, axis=0, keepdims=True)
@@ -478,7 +556,8 @@ def _bwd_ln_kernel(seed_ref, x_ref, g_ref, hd_ref, z_ref, w1_ref, w2_ref,
 
 
 def _bwd_ln_impl(xp, w1, w2, gamma, hd, z, g, seed, *, rate: float,
-                 deterministic: bool, interpret: bool):
+                 deterministic: bool, interpret: bool,
+                 activation: str = "relu", ln_eps: float = _LN_EPS):
     rp, hdim = xp.shape
     fdim = w1.shape[1]
     block = _pick_block(rp)
@@ -489,7 +568,7 @@ def _bwd_ln_impl(xp, w1, w2, gamma, hd, z, g, seed, *, rate: float,
         _bwd_ln_kernel,
         inv_keep=1.0 / keep_prob if apply_dropout else 1.0,
         keep_threshold=min(int(keep_prob * 2 ** 32), 2 ** 32 - 1),
-        apply_dropout=apply_dropout)
+        apply_dropout=apply_dropout, activation=activation, ln_eps=ln_eps)
     row = lambda i, s: (i, 0)
     const = lambda i, s: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -537,40 +616,47 @@ def _bwd_ln_impl(xp, w1, w2, gamma, hd, z, g, seed, *, rate: float,
     )(seed, xp, g, hd, z, w1, w2, gamma.reshape(1, hdim))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def fused_ffn_ln(x, w1, b1, w2, b2, gamma, beta, seed, rate: float = 0.1,
-                 deterministic: bool = True, interpret: bool = False):
+                 deterministic: bool = True, interpret: bool = False,
+                 activation: str = "relu", ln_eps: float = _LN_EPS):
     """Fused FFN half-layer: ``LayerNorm(x + dropout(ffn(x)))``.
 
     The complete torch post-LN FFN block of ``TorchEncoderLayer``
     (10_FAME.py:214 semantics): inner dropout after the ReLU, outer dropout
-    on the FFN output, residual add, LayerNorm (eps 1e-6 = the flax XLA
-    path's default).  ``seed`` is [2] int32 (inner/outer streams); both
-    ignored when deterministic.  Returns [R, H] in ``x.dtype``.
+    on the FFN output, residual add, LayerNorm.  ``seed`` is [2] int32
+    (inner/outer streams); both ignored when deterministic.  With
+    ``activation="gelu"`` it is the BERT FFN half-layer instead (exact gelu,
+    no inner dropout — BERT has none; pass ``ln_eps=1e-12``).  Returns
+    [R, H] in ``x.dtype``.
     """
     out, _, _ = _fwd_ln_impl(x, w1, b1, w2, b2, gamma, beta, seed,
                              rate=rate, deterministic=deterministic,
-                             interpret=interpret)
+                             interpret=interpret, activation=activation,
+                             ln_eps=ln_eps)
     return out
 
 
 def _vjp_ln_fwd(x, w1, b1, w2, b2, gamma, beta, seed, rate, deterministic,
-                interpret):
+                interpret, activation, ln_eps):
     out, hd, z = _fwd_ln_impl(x, w1, b1, w2, b2, gamma, beta, seed,
                               rate=rate, deterministic=deterministic,
-                              interpret=interpret)
+                              interpret=interpret, activation=activation,
+                              ln_eps=ln_eps)
     block = _pick_block(x.shape[0])
     xp = _pad_rows(x, pl.cdiv(x.shape[0], block) * block)
     return out, (xp, w1, w2, gamma, hd, z, seed)
 
 
-def _vjp_ln_bwd(rate, deterministic, interpret, residuals, g):
+def _vjp_ln_bwd(rate, deterministic, interpret, activation, ln_eps,
+                residuals, g):
     xp, w1, w2, gamma, hd, z, seed = residuals
     r = g.shape[0]
     gp = _pad_rows(g, xp.shape[0])
     dx, dw1, db1, dw2, db2, dgamma, dbeta = _bwd_ln_impl(
         xp, w1, w2, gamma, hd, z, gp, seed, rate=rate,
-        deterministic=deterministic, interpret=interpret)
+        deterministic=deterministic, interpret=interpret,
+        activation=activation, ln_eps=ln_eps)
     dseed = np.zeros((2,), jax.dtypes.float0)
     return (dx[:r] if xp.shape[0] != r else dx,
             dw1.astype(w1.dtype), db1.reshape(-1).astype(w1.dtype),

@@ -302,3 +302,79 @@ def test_ln_outer_dropout_replay_tpu():
                            "dbeta"), gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
                                    atol=3e-2, err_msg=name)
+
+
+# -- gelu activation mode (the BERT FFN, round 3) ---------------------------------
+#
+# CPU caveat: this box's XLA:CPU lowers fp32 dot_general through a bf16
+# fastmath gemm at DEFAULT precision, so comparing matmuls of two *slightly
+# different* activation buffers (exact vs approximated gelu) has a bf16-level
+# noise floor (~6e-4 measured).  The comparisons below run the XLA reference
+# under ``jax.default_matmul_precision("highest")``, which restores the
+# true fp32 gap of ~1e-6 (the A&S erf approximation, see ops/fused_ffn.py).
+
+
+def _gelu_ref(x, w1, b1, w2, b2):
+    return jax.nn.gelu(x @ w1 + b1, approximate=False) @ w2 + b2
+
+
+def test_gelu_forward_parity():
+    x, w1, b1, w2, b2 = _inputs(3)
+    with jax.default_matmul_precision("highest"):
+        out = fused_ffn(x, w1, b1, w2, b2, jnp.zeros(1, jnp.int32),
+                        0.0, True, True, "gelu")
+        ref = _gelu_ref(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gelu_all_five_grads_match_autodiff():
+    x, w1, b1, w2, b2 = _inputs(4)
+    seed = jnp.zeros(1, jnp.int32)
+
+    def loss_f(args):
+        return jnp.sum(jnp.sin(fused_ffn(*args, seed, 0.0, True, True,
+                                         "gelu")))
+
+    def loss_r(args):
+        return jnp.sum(jnp.sin(_gelu_ref(*args)))
+
+    with jax.default_matmul_precision("highest"):
+        gf = jax.grad(loss_f)((x, w1, b1, w2, b2))
+        gr = jax.grad(loss_r)((x, w1, b1, w2, b2))
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=5e-4, err_msg=name)
+
+
+def test_gelu_ln_epilogue_parity():
+    """fused_ffn_ln(activation="gelu", ln_eps=1e-12): the BERT FFN half-layer."""
+    from fairmultimodal_tpu.ops.fused_ffn import fused_ffn_ln
+
+    x, w1, b1, w2, b2 = _inputs(5)
+    rng = np.random.default_rng(6)
+    gamma = jnp.asarray(rng.normal(1, 0.05, H), jnp.float32)
+    beta = jnp.asarray(rng.normal(0, 0.05, H), jnp.float32)
+
+    def ref(x, w1, b1, w2, b2, gamma, beta):
+        z = x + _gelu_ref(x, w1, b1, w2, b2)
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+        return (z - mu) * jax.lax.rsqrt(var + 1e-12) * gamma + beta
+
+    with jax.default_matmul_precision("highest"):
+        out = fused_ffn_ln(x, w1, b1, w2, b2, gamma, beta,
+                           jnp.zeros(2, jnp.int32), 0.0, True, True,
+                           "gelu", 1e-12)
+        want = ref(x, w1, b1, w2, b2, gamma, beta)
+        g_out = jax.grad(lambda a: jnp.sum(jnp.sin(fused_ffn_ln(
+            *a, jnp.zeros(2, jnp.int32), 0.0, True, True, "gelu", 1e-12))))(
+            (x, w1, b1, w2, b2, gamma, beta))
+        g_ref = jax.grad(lambda a: jnp.sum(jnp.sin(ref(*a))))(
+            (x, w1, b1, w2, b2, gamma, beta))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2", "dgamma",
+                           "dbeta"), g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-3, err_msg=name)

@@ -265,3 +265,38 @@ def test_behrt_demo_broadcast_guard_poisons_per_row_tokens():
     bad = m.apply({"params": params}, per_row, const["attn_mask"],
                   ids, ids, ids, ids)
     assert np.isnan(np.asarray(bad)).all()
+
+
+def test_bert_fused_megakernel_path_matches_xla():
+    """BertEncoderModel(fused=True): two Pallas calls per layer (attention
+    megakernel + gelu FFN, both with folded eps-1e-12 LN epilogues) against
+    the XLA layer path, same params (the trees are bit-identical by
+    construction).  Run under highest matmul precision: this CPU's default
+    fp32 gemm is bf16 fastmath, which would otherwise dominate the
+    comparison (see tests/test_fused_ffn.py note)."""
+    import jax
+    from fairmultimodal_tpu.models.bert import BertConfig, BertEncoderModel
+
+    cfg = BertConfig(vocab_size=100, hidden_size=128, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=512,
+                     max_position_embeddings=256)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 100, (2, 256)), jnp.int32)
+    mask = jnp.asarray((np.arange(256)[None, :]
+                        < np.array([200, 256])[:, None]).astype(np.int32))
+
+    m_x = BertEncoderModel(cfg, fused=False)
+    params = m_x.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    params_f = BertEncoderModel(cfg, fused=True).init(
+        jax.random.PRNGKey(0), ids, mask)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, params_f)
+
+    with jax.default_matmul_precision("highest"):
+        out_x = m_x.apply({"params": params}, ids, mask, deterministic=True)
+        out_f = BertEncoderModel(cfg, fused=True).apply(
+            {"params": params}, ids, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=2e-4, atol=2e-4)
