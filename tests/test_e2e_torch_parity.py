@@ -1162,3 +1162,98 @@ def test_fairehr_clp_end_to_end_matches_torch():
     grads_sd = clp_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
     n = _compare_grads(grads_sd, ref, atol=1e-4)
     assert n > 25
+
+
+# --- 01 BEHRT structured-only baseline ---------------------------------------
+
+def behrt_flax_to_torch(params):
+    lab = params["lab_model"]
+    t = {}
+    t["lab_model.token_embedding.weight"], \
+        t["lab_model.token_embedding.bias"] = _dense(lab["token_embedding"])
+    t["lab_model.pos_embedding"] = lab["pos_embedding"]
+    for i in range(2):
+        t.update(_torch_layer_sd(
+            lab[f"layer_{i}"], f"lab_model.transformer_encoder.layers.{i}"))
+    t["fusion_fc.weight"], t["fusion_fc.bias"] = _dense(params["fusion_fc"])
+    for task in ("mort", "los", "mech"):
+        t[f"classifier_{task}.weight"], t[f"classifier_{task}.bias"] = _dense(
+            params[f"classifier_{task}"])
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+class TorchBEHRTCombined(torch.nn.Module):
+    """Verbatim BEHRTModel_Combined (01_BEHRT.py:112-149): lab encoder
+    (Linear(1,H) token embed + learned pos + 2 post-LN layers + mean-pool)
+    -> fusion_fc -> dropout -> three single-logit heads."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.lab_model = nn.Module()
+        self.lab_model.token_embedding = nn.Linear(1, H)
+        self.lab_model.pos_embedding = nn.Parameter(torch.randn(LABS, H))
+        layer = nn.TransformerEncoderLayer(H, 8, batch_first=True)
+        self.lab_model.transformer_encoder = nn.TransformerEncoder(layer, 2)
+        self.fusion_fc = nn.Linear(H, H)
+        self.classifier_mort = nn.Linear(H, 1)
+        self.classifier_los = nn.Linear(H, 1)
+        self.classifier_mech = nn.Linear(H, 1)
+
+    def forward(self, lab):
+        x = self.lab_model.token_embedding(lab.unsqueeze(-1))
+        x = x + self.lab_model.pos_embedding
+        x = self.lab_model.transformer_encoder(x).mean(dim=1)
+        fused = self.fusion_fc(x)
+        return torch.cat([self.classifier_mort(fused),
+                          self.classifier_los(fused),
+                          self.classifier_mech(fused)], dim=1)
+
+
+def test_behrt_combined_end_to_end_matches_torch():
+    """01's assembly: forward logits, per-task BCE(pos_weight=neg/pos) sum
+    (01:209-226), all gradients."""
+    from fairmultimodal_tpu.models.behrt import BEHRTCombined
+
+    rng = np.random.default_rng(21)
+    lab = rng.normal(0, 1, (B, LABS)).astype(np.float32)
+    labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
+
+    model = BEHRTCombined(lab_token_count=LABS, hidden_size=H)
+    params = model.init(jax.random.key(21, impl="threefry2x32"),
+                        jnp.asarray(lab))["params"]
+
+    ref = TorchBEHRTCombined()
+    sd = behrt_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+    ref.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+    ref.eval()
+
+    logits_ref = ref(torch.tensor(lab))
+    logits = model.apply({"params": params}, jnp.asarray(lab),
+                         deterministic=True)
+    np.testing.assert_allclose(np.asarray(logits),
+                               logits_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+    # Reference loss: sum of per-task mean BCEWithLogits(pos_weight).
+    pw = torch.tensor(POS_W)
+    loss_ref = sum(
+        torch.nn.BCEWithLogitsLoss(pos_weight=pw[i])(
+            logits_ref[:, i], torch.tensor(labels[:, i]))
+        for i in range(3))
+
+    def flax_loss(p):
+        lg = model.apply({"params": p}, jnp.asarray(lab), deterministic=True)
+        return masked_task_loss(lg, jnp.asarray(labels), jnp.ones(B),
+                                loss="bce", gamma=1.0,
+                                pos_weight=jnp.asarray(POS_W))
+
+    loss, grads = jax.value_and_grad(flax_loss)(params)
+    # 5e-6 abs (rel ~6e-7 at loss ~3.2): the three-term pos_weighted BCE sum
+    # accumulates in a different order than torch's.
+    assert float(loss) == pytest.approx(loss_ref.item(), abs=5e-6)
+
+    loss_ref.backward()
+    grads_sd = behrt_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
+    n = _compare_grads(grads_sd, ref, atol=1e-4)
+    assert n > 25
