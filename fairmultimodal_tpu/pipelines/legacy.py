@@ -25,9 +25,14 @@ test here:
   256-d projection -> sigmoid x learnable-weight enhancement -> dot product
   scalar; three scalars -> classifier), TWO tasks (mortality +
   readmission-within-30d, EDDI.py:319-322), FocalLoss gamma=2 with clip-10
-  neg/pos weights (EDDI.py:53,538-539), Adam lr 1e-5, 5 epochs, text
+  neg/pos weights over the whole cohort (EDDI.py:53,536-539),
+  ``clip_grad_norm_(1.0)`` (EDDI.py:346), Adam lr 1e-5, 5 epochs, text
   max_length 128 (EDDI.py:109-110).  Same train==eval deviation handling as
   above.
+
+Both experiments are end-to-end torch-oracle-tested
+(``tests/test_e2e_torch_parity.py``: forward logits, loss, every gradient,
+and — for the EDDI era — the global-norm clip transform leaf-for-leaf).
 """
 
 from __future__ import annotations
@@ -215,8 +220,9 @@ def run_legacy_behrt_experiment(
         num_hidden_layers=cfg.num_hidden_layers,
         num_attention_heads=cfg.num_attention_heads, dtype=dtype)
 
-    # BCE pos_weight = class_weights[1] = n / (2 * positives) (:267-287).
-    pos_weight = compute_pos_weights(labels[idx["train"]])
+    # BCE pos_weight = class_weights[1] = n / (2 * positives), computed over
+    # the WHOLE filtered cohort — the reference never splits (:267-287).
+    pos_weight = compute_pos_weights(labels)
     trainer = MultitaskTrainer(model, cfg.train, pos_weight=pos_weight)
     params = trainer.init_params(next(iter(loaders["train"])))
     best_params, history = trainer.fit(params, loaders["train"],
@@ -244,7 +250,7 @@ class LegacyEDDIPipelineConfig:
     train: SimpleTrainConfig = dataclasses.field(
         default_factory=lambda: SimpleTrainConfig(
             lr=1e-5, num_epochs=5, batch_size=16, loss="focal", gamma=2.0,
-            optimizer="adam", patience=10))
+            optimizer="adam", patience=10, grad_clip=1.0))
     text_model: str = "emilyalsentzer/Bio_ClinicalBERT"
     text_max_length: int = 128         # EDDI.py:109-110
     text_batch_size: int = 32
@@ -326,9 +332,9 @@ def run_legacy_eddi_experiment(
         demo_heads=cfg.demo_heads, lab_layers=cfg.lab_layers,
         lab_heads=cfg.lab_heads, num_tasks=len(LEGACY_TASKS), dtype=dtype)
 
-    # clip-10 neg/pos weights (EDDI.py:53,536-539).
-    pos_weight = pos_weight_neg_over_pos(bundle.labels[idx["train"]],
-                                         clip=10.0)
+    # clip-10 neg/pos weights over the WHOLE filtered cohort — the reference
+    # computes them from df_filtered before any split (EDDI.py:53,536-539).
+    pos_weight = pos_weight_neg_over_pos(bundle.labels, clip=10.0)
     trainer = MultitaskTrainer(model, cfg.train, pos_weight=pos_weight)
     params = trainer.init_params(next(iter(loaders["train"])))
     best_params, history = trainer.fit(params, loaders["train"],

@@ -150,7 +150,8 @@ class MultitaskTrainer:
         # Batch N+1's host->device transfer overlaps step N's compute; loss
         # scalars stay on device until the epoch ends (a float() per step
         # blocks dispatch on a tunnel round-trip each).  The final float64
-        # host sum is bit-identical to per-step accumulation.
+        # host sum matches per-step accumulation to last-ulp (np.sum is
+        # pairwise, not strictly left-to-right; logging-only impact).
         for batch in PrefetchLoader(loader, size=2, mesh=self.mesh):
             rng, self._rng = jax.random.split(self._rng)
             params, opt_state, loss = self._train_step(

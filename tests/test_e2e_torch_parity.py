@@ -1257,3 +1257,330 @@ def test_behrt_combined_end_to_end_matches_torch():
     grads_sd = behrt_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
     n = _compare_grads(grads_sd, ref, atol=1e-4)
     assert n > 25
+
+
+# --- Legacy generations (SURVEY §2.4): sequence BEHRT + EDDI-dot fusion ------
+
+SEQ_S = 8
+N_DIS, N_ADM, N_DIS_LOC = 10, 3, 3
+
+
+def behrt_sequence_flax_to_torch(params):
+    """BEHRTSequence param tree -> TorchBEHRTSequence state-dict arrays
+    (New/02_BEHRT.py:175-240)."""
+    t = _bert_sd(params["bert"], "bert.", LAYERS)
+    for name in ("age", "segment", "admission_loc", "discharge_loc",
+                 "gender", "ethnicity", "insurance"):
+        t[f"{name}_embedding.weight"] = params[f"{name}_embedding"]["embedding"]
+    for task in ("mortality", "los", "mech"):
+        (t[f"classifier_{task}.weight"],
+         t[f"classifier_{task}.bias"]) = _dense(params[f"classifier_{task}"])
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+class TorchBEHRTSequence(torch.nn.Module):
+    """Verbatim legacy BEHRTModel (New/02_BEHRT.py:175-240): disease-id
+    sequence through BERT, seven per-position embeddings summed onto the
+    sequence output, CLS-position single-logit heads."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        cfg = transformers.BertConfig(
+            vocab_size=N_DIS + N_AGE + 2 + N_ADM + N_DIS_LOC + 2,
+            hidden_size=H, num_hidden_layers=LAYERS, num_attention_heads=NH,
+            intermediate_size=H * 4, max_position_embeddings=512,
+            type_vocab_size=2)
+        self.bert = transformers.BertModel(cfg, add_pooling_layer=False)
+        self.age_embedding = nn.Embedding(N_AGE, H)
+        self.segment_embedding = nn.Embedding(2, H)
+        self.admission_loc_embedding = nn.Embedding(N_ADM, H)
+        self.discharge_loc_embedding = nn.Embedding(N_DIS_LOC, H)
+        self.gender_embedding = nn.Embedding(N_GEN, H)
+        self.ethnicity_embedding = nn.Embedding(N_ETH, H)
+        self.insurance_embedding = nn.Embedding(N_INS, H)
+        self.classifier_mortality = nn.Linear(H, 1)
+        self.classifier_los = nn.Linear(H, 1)
+        self.classifier_mech = nn.Linear(H, 1)
+
+    def forward(self, b):
+        clamp = lambda x, emb: torch.clamp(x, 0, emb.num_embeddings - 1)
+        mask = (b["disease_ids"] != 0).long()      # :208-209
+        seq = self.bert(input_ids=b["disease_ids"],
+                        attention_mask=mask).last_hidden_state
+        combined = (seq
+                    + self.age_embedding(clamp(b["age_ids"], self.age_embedding))
+                    + self.segment_embedding(clamp(b["segment_ids"], self.segment_embedding))
+                    + self.admission_loc_embedding(clamp(b["adm_loc_ids"], self.admission_loc_embedding))
+                    + self.discharge_loc_embedding(clamp(b["disch_loc_ids"], self.discharge_loc_embedding))
+                    + self.gender_embedding(clamp(b["gender_ids"], self.gender_embedding))
+                    + self.ethnicity_embedding(clamp(b["ethnicity_ids"], self.ethnicity_embedding))
+                    + self.insurance_embedding(clamp(b["insurance_ids"], self.insurance_embedding)))
+        cls = combined[:, 0, :]
+        return torch.cat([self.classifier_mortality(cls),
+                          self.classifier_los(cls),
+                          self.classifier_mech(cls)], dim=1)
+
+
+def _legacy_seq_batch(rng):
+    b = {
+        # Zeros appear so the ids!=0 mask path is exercised; age ids include
+        # out-of-range values so both clamps are exercised.
+        "disease_ids": rng.integers(0, N_DIS, (B, SEQ_S)).astype(np.int32),
+        "age_ids": rng.integers(0, N_AGE + 2, (B, SEQ_S)).astype(np.int32),
+        "segment_ids": (np.arange(SEQ_S, dtype=np.int32) % 2)[None].repeat(B, 0),
+        "adm_loc_ids": rng.integers(0, N_ADM, (B, SEQ_S)).astype(np.int32),
+        "disch_loc_ids": rng.integers(0, N_DIS_LOC, (B, SEQ_S)).astype(np.int32),
+        "gender_ids": rng.integers(0, N_GEN, (B, SEQ_S)).astype(np.int32),
+        "ethnicity_ids": rng.integers(0, N_ETH, (B, SEQ_S)).astype(np.int32),
+        "insurance_ids": rng.integers(0, N_INS, (B, SEQ_S)).astype(np.int32),
+    }
+    b["disease_ids"][:, 0] = 1 + b["disease_ids"][:, 0] % (N_DIS - 1)  # live CLS
+    return b
+
+
+@pytest.mark.slow
+def test_legacy_behrt_sequence_end_to_end_matches_torch():
+    """Legacy sequence BEHRT (New/02_BEHRT.py): forward logits, per-task
+    BCE(pos_weight = n/(2*n_pos), :267-287) sum, all gradients."""
+    from fairmultimodal_tpu.models.legacy import BEHRTSequence
+
+    rng = np.random.default_rng(31)
+    batch = _legacy_seq_batch(rng)
+    labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
+
+    model = BEHRTSequence(
+        num_diseases=N_DIS, num_ages=N_AGE, num_segments=2,
+        num_admission_locs=N_ADM, num_discharge_locs=N_DIS_LOC,
+        num_genders=N_GEN, num_ethnicities=N_ETH, num_insurances=N_INS,
+        hidden_size=H, num_hidden_layers=LAYERS, num_attention_heads=NH)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(31, impl="threefry2x32"), jb)["params"]
+
+    ref = TorchBEHRTSequence()
+    sd = behrt_sequence_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+    ref.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+    ref.eval()
+
+    tb = _to_torch(batch)
+    tb = {k: v.long() for k, v in tb.items()}
+    logits_ref = ref(tb)
+    out = model.apply({"params": params}, jb, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               logits_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+    pw = torch.tensor(POS_W)
+    loss_ref = sum(
+        torch.nn.BCEWithLogitsLoss(pos_weight=pw[i])(
+            logits_ref[:, i], torch.tensor(labels[:, i]))
+        for i in range(3))
+
+    def flax_loss(p):
+        lg = model.apply({"params": p}, jb, deterministic=True)["logits"]
+        return masked_task_loss(lg, jnp.asarray(labels), jnp.ones(B),
+                                loss="bce", gamma=1.0,
+                                pos_weight=jnp.asarray(POS_W))
+
+    loss, grads = jax.value_and_grad(flax_loss)(params)
+    assert float(loss) == pytest.approx(loss_ref.item(), abs=5e-6)
+
+    loss_ref.backward()
+    grads_sd = behrt_sequence_flax_to_torch(
+        jax.tree_util.tree_map(np.asarray, grads))
+    n = _compare_grads(grads_sd, ref, atol=1e-4)
+    assert n > 40
+
+
+def legacy_eddi_flax_to_torch(params):
+    """LegacyEDDIFull param tree -> TorchLegacyEDDI state-dict arrays
+    (Code/EDDI.py:225-322)."""
+    t = _demo_lab_sd(params)
+    fu = params["fusion"]
+    for mod in ("demo", "lab", "text"):
+        (t[f"{mod}_projector.weight"],
+         t[f"{mod}_projector.bias"]) = _dense(fu[f"{mod}_projector"]["dense"])
+        t[f"eddi_{mod}"] = fu[f"eddi_{mod}"]["eddi_weight"]
+    t["cls1.weight"], t["cls1.bias"] = _dense(fu["dense1"])
+    t["cls2.weight"], t["cls2.bias"] = _dense(fu["dense2"])
+    return {k: np.asarray(v) for k, v in t.items()}
+
+
+class TorchLegacyEDDI(_TorchDemoLab):
+    """Verbatim legacy MultimodalTransformer (Code/EDDI.py:225-322): demo/lab
+    trunk + 256-d projections, sigmoid*weight enhancement, dot-product scalar
+    per branch, Linear(3,512)->ReLU->Dropout->Linear(512,2) classifier."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.demo_projector = nn.Linear(H, 256)
+        self.lab_projector = nn.Linear(H, 256)
+        self.text_projector = nn.Linear(TEXT_DIM, 256)
+        self.eddi_demo = nn.Parameter(torch.ones(256))
+        self.eddi_lab = nn.Parameter(torch.ones(256))
+        self.eddi_text = nn.Parameter(torch.ones(256))
+        self.cls1 = nn.Linear(3, 512)
+        self.cls2 = nn.Linear(512, 2)
+
+    def forward(self, b):
+        relu = torch.nn.functional.relu
+        demo, lab = self.encode(b)
+        scalars = []
+        for proj, w in ((relu(self.demo_projector(demo)), self.eddi_demo),
+                        (relu(self.lab_projector(lab)), self.eddi_lab),
+                        (relu(self.text_projector(b["text_embedding"])),
+                         self.eddi_text)):
+            enhanced = torch.sigmoid(proj) * w          # EDDI.py:203-221
+            scalars.append(torch.sum(proj * enhanced, dim=1, keepdim=True))
+        fused = torch.cat(scalars, dim=1)               # [B, 3]
+        return self.cls2(relu(self.cls1(fused))), fused
+
+
+POS_W2 = np.array([3.0, 1.5], np.float32)
+
+
+@pytest.mark.slow
+def test_legacy_eddi_end_to_end_matches_torch():
+    """Legacy EDDI-dot fusion (Code/EDDI.py): forward logits + branch
+    scalars, FocalLoss(gamma=2, pos_weight) sum over the two legacy tasks
+    (:538-545), all gradients, and the clip_grad_norm_(1.0) transform
+    (:346) leaf-for-leaf against optax.clip_by_global_norm."""
+    import optax
+
+    from fairmultimodal_tpu.models.legacy import LegacyEDDIFull
+
+    rng = np.random.default_rng(37)
+    batch = _example_batch(rng)
+    labels = rng.integers(0, 2, (B, 2)).astype(np.float32)
+
+    model = LegacyEDDIFull(
+        num_ages=N_AGE, num_genders=N_GEN, num_ethnicities=N_ETH,
+        num_insurances=N_INS, lab_token_count=LABS, hidden_size=H,
+        demo_layers=LAYERS, demo_heads=NH, lab_layers=2, lab_heads=NH,
+        num_tasks=2)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(37, impl="threefry2x32"), jb)["params"]
+
+    ref = TorchLegacyEDDI()
+    sd = legacy_eddi_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+    ref.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+    ref.eval()
+
+    logits_ref, fused_ref = ref(_to_torch(batch))
+    out = model.apply({"params": params}, jb, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               logits_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["branch_scalars"]),
+                               fused_ref.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+    # Reference criteria: FocalLoss(gamma=2, pos_weight, mean) per task,
+    # summed (EDDI.py:538-545).  x100 so the global-norm clip below engages.
+    def torch_focal(lg, y, pw):
+        bce = torch.nn.functional.binary_cross_entropy_with_logits(
+            lg, y, reduction="none", pos_weight=pw)
+        return (((1 - torch.exp(-bce)) ** 2.0) * bce).mean()
+
+    pw = torch.tensor(POS_W2)
+    loss_ref = 100.0 * sum(
+        torch_focal(logits_ref[:, i], torch.tensor(labels[:, i]), pw[i])
+        for i in range(2))
+
+    def flax_loss(p):
+        lg = model.apply({"params": p}, jb, deterministic=True)["logits"]
+        return 100.0 * masked_task_loss(lg, jnp.asarray(labels), jnp.ones(B),
+                                        loss="focal", gamma=2.0,
+                                        pos_weight=jnp.asarray(POS_W2))
+
+    loss, grads = jax.value_and_grad(flax_loss)(params)
+    # The x100 scale puts the loss at ~4.5e3 where one fp32 ulp is ~4.9e-4;
+    # XLA's reduction order differs from torch's, so compare relatively.
+    assert float(loss) == pytest.approx(loss_ref.item(), rel=1e-6)
+
+    loss_ref.backward()
+    grads_sd = legacy_eddi_flax_to_torch(jax.tree_util.tree_map(np.asarray, grads))
+    n = _compare_grads(grads_sd, ref, atol=1e-4 * 100)
+    assert n > 40
+
+    # clip_grad_norm_(1.0) == optax.clip_by_global_norm(1.0), and it engages.
+    total = torch.nn.utils.clip_grad_norm_(ref.parameters(), max_norm=1.0)
+    assert total.item() > 1.0
+    clip_tx = optax.clip_by_global_norm(1.0)
+    clipped, _ = clip_tx.update(grads, clip_tx.init(params))
+    clipped_sd = legacy_eddi_flax_to_torch(
+        jax.tree_util.tree_map(np.asarray, clipped))
+    for name, p in ref.named_parameters():
+        if p.grad is not None and np.any(clipped_sd[name]):
+            np.testing.assert_allclose(
+                clipped_sd[name], p.grad.detach().numpy(),
+                atol=1e-6 * 100, rtol=1e-4,
+                err_msg=f"clipped gradient mismatch at {name}")
+
+
+class TorchUnstructuredClassifier(torch.nn.Module):
+    """Verbatim 02 UnstructuredClassifier (Final/02_BioClinicalBERT.py:122-134)."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.classifier = nn.Sequential(nn.Linear(TEXT_DIM, 16), nn.ReLU(),
+                                        nn.Dropout(0.1), nn.Linear(16, 3))
+
+    def forward(self, x):
+        return self.classifier(x)
+
+
+def test_text_only_classifier_end_to_end_matches_torch():
+    """02's frozen-embedding head: forward logits, FocalLoss(gamma=2,
+    pos_weight=balanced) sum (02:489-497), all gradients."""
+    from fairmultimodal_tpu.models.baselines import TextOnlyClassifier
+
+    rng = np.random.default_rng(41)
+    emb = rng.normal(0, 1, (B, TEXT_DIM)).astype(np.float32)
+    labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
+
+    model = TextOnlyClassifier(hidden=16)
+    jb = {"text_embedding": jnp.asarray(emb)}
+    params = model.init(jax.random.key(41, impl="threefry2x32"), jb)["params"]
+
+    ref = TorchUnstructuredClassifier()
+    sd = {}
+    sd["classifier.0.weight"], sd["classifier.0.bias"] = _dense(params["fc1"])
+    sd["classifier.3.weight"], sd["classifier.3.bias"] = _dense(params["fc2"])
+    ref.load_state_dict({k: torch.tensor(np.asarray(v)) for k, v in sd.items()})
+    ref.eval()
+
+    logits_ref = ref(torch.tensor(emb))
+    out = model.apply({"params": params}, jb, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               logits_ref.detach().numpy(),
+                               atol=1e-6, rtol=1e-6)
+
+    def torch_focal(lg, y, pw):
+        bce = torch.nn.functional.binary_cross_entropy_with_logits(
+            lg, y, reduction="none", pos_weight=pw)
+        return (((1 - torch.exp(-bce)) ** 2.0) * bce).mean()
+
+    pw = torch.tensor(POS_W)
+    loss_ref = sum(torch_focal(logits_ref[:, i], torch.tensor(labels[:, i]),
+                               pw[i]) for i in range(3))
+
+    def flax_loss(p):
+        lg = model.apply({"params": p}, jb, deterministic=True)["logits"]
+        return masked_task_loss(lg, jnp.asarray(labels), jnp.ones(B),
+                                loss="focal", gamma=2.0,
+                                pos_weight=jnp.asarray(POS_W))
+
+    loss, grads = jax.value_and_grad(flax_loss)(params)
+    assert float(loss) == pytest.approx(loss_ref.item(), abs=1e-6)
+
+    loss_ref.backward()
+    gsd = {}
+    gsd["classifier.0.weight"], gsd["classifier.0.bias"] = _dense(
+        jax.tree_util.tree_map(np.asarray, grads)["fc1"])
+    gsd["classifier.3.weight"], gsd["classifier.3.bias"] = _dense(
+        jax.tree_util.tree_map(np.asarray, grads)["fc2"])
+    n = _compare_grads(gsd, ref, atol=1e-5)
+    assert n == 4
