@@ -80,6 +80,10 @@ class TorchEncoderLayer(nn.Module):
     # None = auto (fold when the kernel runs); False = round-2 behavior
     # (kernels + XLA dropout/add/LN) for A/B.
     fold_ln: Optional[bool] = None
+    # torch nn.TransformerEncoderLayer's layer_norm_eps default — NOT flax's
+    # 1e-6.  The float64 trajectory oracle resolves the difference clearly
+    # (~4e-6 relative per LN at unit variance).
+    layer_norm_eps: float = 1e-5
 
     def _dropout_seed(self, n: int, deterministic: bool) -> jax.Array:
         if not deterministic and self.dropout > 0:
@@ -115,14 +119,15 @@ class TorchEncoderLayer(nn.Module):
                     x.astype(self.dtype), c(wq), c(bq), c(wk), c(bk), c(wv),
                     c(bv), c(wo), c(bo), gamma1, beta1, mask,
                     self._dropout_seed(1, deterministic), nh, self.dropout,
-                    deterministic, interpret)
+                    deterministic, interpret, self.layer_norm_eps)
             else:
                 attn = fused_attention_block(
                     x.astype(self.dtype), c(wq), c(bq), c(wk), c(bk), c(wv),
                     c(bv), c(wo), c(bo), mask, nh, interpret)
                 attn = nn.Dropout(self.dropout)(attn,
                                                 deterministic=deterministic)
-                x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+                x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                             name="norm1")(x + attn)
         else:
             if self.fused_qkv:
                 qkv = nn.Dense(3 * h, dtype=self.dtype, name="qkv")(x)
@@ -138,7 +143,8 @@ class TorchEncoderLayer(nn.Module):
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h)
             attn = nn.Dense(h, dtype=self.dtype, name="attn_out")(attn)
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+            x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                             name="norm1")(x + attn)
 
         use_fused = self.ffn_kernel
         if use_fused is None:
@@ -152,7 +158,7 @@ class TorchEncoderLayer(nn.Module):
                     x.reshape(b * s, h).astype(self.dtype),
                     c(w1), c(b1), c(w2), c(b2), gamma2, beta2,
                     self._dropout_seed(2, deterministic), self.dropout,
-                    deterministic, interpret,
+                    deterministic, interpret, "relu", self.layer_norm_eps,
                 ).reshape(b, s, h)
             y = fused_ffn(
                 x.reshape(b * s, h).astype(self.dtype),
@@ -166,7 +172,8 @@ class TorchEncoderLayer(nn.Module):
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
             y = nn.Dense(h, dtype=self.dtype, name="ffn_out")(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                            name="norm2")(x + y)
 
 
 def _round_up(n: int, m: int) -> int:

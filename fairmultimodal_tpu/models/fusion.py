@@ -30,6 +30,13 @@ from flax import linen as nn
 
 from fairmultimodal_tpu.models.behrt import BEHRTDemo, BEHRTLab
 
+
+def _out_dtype(compute_dtype):
+    """Output dtype: AT LEAST f32.  bf16 compute returns f32 (losses/metrics
+    run in f32); f64 runs (the float64 torch-trajectory oracle) pass through
+    instead of being silently truncated back to f32."""
+    return jnp.promote_types(compute_dtype, jnp.float32)
+
 __all__ = [
     "FAMEFusion",
     "FAMEModel",
@@ -135,18 +142,18 @@ class FAMEFusion(nn.Module):
             pre_relu = pre_relu_t[:, 0]
 
         return {
-            "fused_logits": fused_logits.astype(jnp.float32),
+            "fused_logits": fused_logits.astype(_out_dtype(self.dtype)),
             "modality_logits": {
                 "demo": nn.Dense(self.num_tasks, dtype=self.dtype,
-                                 name="classifier_demo")(demo_proj).astype(jnp.float32),
+                                 name="classifier_demo")(demo_proj).astype(_out_dtype(self.dtype)),
                 "lab": nn.Dense(self.num_tasks, dtype=self.dtype,
-                                name="classifier_lab")(lab_proj).astype(jnp.float32),
+                                name="classifier_lab")(lab_proj).astype(_out_dtype(self.dtype)),
                 "text": nn.Dense(self.num_tasks, dtype=self.dtype,
-                                 name="classifier_text")(text_proj).astype(jnp.float32),
+                                 name="classifier_text")(text_proj).astype(_out_dtype(self.dtype)),
             },
             "sigmoid_weights": nn.sigmoid(sig_w),
-            "gated_vector": gated.astype(jnp.float32),
-            "fusion_pre_relu": pre_relu.astype(jnp.float32),
+            "gated_vector": gated.astype(_out_dtype(self.dtype)),
+            "fusion_pre_relu": pre_relu.astype(_out_dtype(self.dtype)),
         }
 
 
@@ -222,13 +229,13 @@ class AverageFusionModel(nn.Module):
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         logits = nn.Dense(self.num_tasks, dtype=self.dtype, name="dense2")(h)
         return {
-            "logits": logits.astype(jnp.float32),
+            "logits": logits.astype(_out_dtype(self.dtype)),
             # 07's extraction artifact is the concat of the two PRE-ReLU
             # projection outputs (07_multimodal_average_fusion.py:227-237:
             # fused_embedding_pre_relu = cat(ts_pre, text_pre)), NOT the
             # classifier dense1 pre-activation.
             "fused_embedding": jnp.concatenate(
-                [s_pre, t_pre], axis=-1).astype(jnp.float32),
+                [s_pre, t_pre], axis=-1).astype(_out_dtype(self.dtype)),
         }
 
 
@@ -273,8 +280,8 @@ class SigmoidFusionModel(nn.Module):
                              name="classifier_hidden")(agg))
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         logits = nn.Dense(self.num_tasks, dtype=self.dtype, name="classifier")(h)
-        return {"logits": logits.astype(jnp.float32),
-                "aggregated": agg.astype(jnp.float32),
+        return {"logits": logits.astype(_out_dtype(self.dtype)),
+                "aggregated": agg.astype(_out_dtype(self.dtype)),
                 "gates": (g_demo, g_lab, g_text)}
 
 
@@ -298,7 +305,7 @@ class EDDIFusionModel(nn.Module):
         for task in ("mortality", "los", "mechanical_ventilation"):
             for mod, x in projs.items():
                 logits[f"{task}_{mod}"] = nn.Dense(
-                    1, dtype=self.dtype, name=f"head_{task}_{mod}")(x).astype(jnp.float32)
+                    1, dtype=self.dtype, name=f"head_{task}_{mod}")(x).astype(_out_dtype(self.dtype))
         return logits
 
 
@@ -348,4 +355,4 @@ class DfCModel(nn.Module):
         h = nn.relu(nn.Dense(512, dtype=self.dtype, name="dense1")(fused))
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         logits = nn.Dense(self.num_tasks, dtype=self.dtype, name="dense2")(h)
-        return {"logits": logits.astype(jnp.float32)}
+        return {"logits": logits.astype(_out_dtype(self.dtype))}

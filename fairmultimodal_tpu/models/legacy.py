@@ -22,6 +22,8 @@ from typing import Any, Dict
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fairmultimodal_tpu.models.fusion import _out_dtype
+
 from fairmultimodal_tpu.models.behrt import BEHRTDemo, BEHRTLab
 from fairmultimodal_tpu.models.bert import BertConfig, BertEncoderModel
 from fairmultimodal_tpu.models.fusion import _Projector
@@ -92,7 +94,7 @@ class BEHRTSequence(nn.Module):
             nn.Dense(1, dtype=self.dtype, name="classifier_los")(cls),
             nn.Dense(1, dtype=self.dtype, name="classifier_mech")(cls),
         ], axis=-1)
-        return {"logits": logits.astype(jnp.float32)}
+        return {"logits": logits.astype(_out_dtype(self.dtype))}
 
 
 class EDDIEnhancementLayer(nn.Module):
@@ -132,8 +134,8 @@ class EDDIDotFusion(nn.Module):
                              name="dense1")(fused))
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         logits = nn.Dense(self.num_tasks, dtype=self.dtype, name="dense2")(h)
-        return {"logits": logits.astype(jnp.float32),
-                "branch_scalars": fused.astype(jnp.float32)}
+        return {"logits": logits.astype(_out_dtype(self.dtype)),
+                "branch_scalars": fused.astype(_out_dtype(self.dtype))}
 
 
 class LegacyEDDIFull(nn.Module):

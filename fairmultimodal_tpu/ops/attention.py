@@ -33,19 +33,21 @@ def attention_reference(
 ) -> jax.Array:
     """XLA attention: q,k,v [B, H, S, D]; mask [B, S] (1 = attend).
 
-    Softmax in fp32 (bf16 inputs drift otherwise); output cast back to the
-    input dtype.
+    Softmax in AT LEAST fp32 (bf16 inputs drift otherwise; f64 inputs — the
+    float64 trajectory oracle — keep full precision); output cast back to
+    the input dtype.
     """
     dtype = q.dtype
+    acc = jnp.promote_types(dtype, jnp.float32)
     depth = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(jnp.asarray(depth, jnp.float32))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc)
+    scores = scores / jnp.sqrt(jnp.asarray(depth, acc))
     if mask is not None:
-        bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
+        bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(acc)
         scores = scores + bias
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=acc)
     return out.astype(dtype)
 
 

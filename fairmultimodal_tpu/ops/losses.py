@@ -45,8 +45,11 @@ def bce_with_logits(
         is the GLOBAL masked mean on every shard and its gradient composes
         with a per-shard ``psum(grads)`` into the exact global gradient.
     """
-    logits = logits.astype(jnp.float32)
-    labels = labels.astype(jnp.float32)
+    # Upcast to AT LEAST f32 (bf16 compute -> f32 loss; f64 stays f64 so the
+    # float64 trajectory oracle keeps full precision end-to-end).
+    acc = jnp.promote_types(logits.dtype, jnp.float32)
+    logits = logits.astype(acc)
+    labels = labels.astype(acc)
     log_p = -jax.nn.softplus(-logits)
     log_not_p = -logits - jax.nn.softplus(-logits)
     pos = labels * log_p

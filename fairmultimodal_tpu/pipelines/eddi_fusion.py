@@ -45,6 +45,8 @@ from fairmultimodal_tpu.pipelines.common import (
 from fairmultimodal_tpu.train.loop import EarlyStopper, PlateauScheduler
 from fairmultimodal_tpu.train.simple import SimpleTrainConfig
 
+from fairmultimodal_tpu.utils.rng import threefry_key
+
 __all__ = ["EDDIFusionPipelineConfig", "run_eddi_fusion_experiment",
            "batch_eddi_weights", "make_eddi_fusion_loss"]
 
@@ -197,7 +199,10 @@ def run_eddi_fusion_experiment(
                else tuple(TASK_SHORT[t] for t in task_names)), dtype=dtype)
 
     tx = optax.adam(cfg.train.lr)
-    rng = jax.random.PRNGKey(cfg.train.seed)
+    # Typed threefry: a raw PRNGKey follows the process-global default
+    # impl, so results would depend on whether an unsafe_rbg trainer ran
+    # earlier in the process (utils/rng.py).
+    rng = threefry_key(cfg.train.seed)
     loss_fn = make_eddi_fusion_loss(model, cfg, pos_weight=prep.pos_weight)
 
     @jax.jit
@@ -211,7 +216,7 @@ def run_eddi_fusion_experiment(
     @jax.jit
     def eval_step(params, batch, w_prev):
         loss, (w_new, fused) = loss_fn(params, batch, w_prev,
-                                       jax.random.PRNGKey(0), False)
+                                       threefry_key(0), False)
         return loss, w_new, fused
 
     def put(b):

@@ -22,6 +22,8 @@ from fairmultimodal_tpu.models.text import TextEncoder, encode_note_chunks
 from fairmultimodal_tpu.pipelines.fame import build_model_arrays
 from fairmultimodal_tpu.utils.checkpoint import load_metadata_npz, load_params_npz
 
+from fairmultimodal_tpu.utils.rng import threefry_key
+
 __all__ = ["FAMEPredictor", "run_fame_inference"]
 
 
@@ -180,7 +182,7 @@ def run_fame_inference(
     example = {k: v[:1] for k, v in arrays.items()}
     import jax.numpy as jnp
 
-    like = model.init(jax.random.PRNGKey(0),
+    like = model.init(threefry_key(0),
                       {k: jnp.asarray(v) for k, v in example.items()})["params"]
     params = load_params_npz(params_path, like)
 

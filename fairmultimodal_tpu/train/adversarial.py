@@ -51,6 +51,8 @@ import numpy as np
 import optax
 from flax import linen as nn
 
+from fairmultimodal_tpu.utils.rng import threefry_key
+
 __all__ = ["AdvConfig", "AdvPredictor", "AdvAdversary", "train_adversarial",
            "adv_grid_search", "match_case_control", "resample_smoteenn",
            "adv_metrics"]
@@ -156,7 +158,9 @@ def train_adversarial(
     pred = AdvPredictor(cfg.num_nodes, cfg.dropout_rate)
     adv = AdvAdversary(cfg.num_nodes_adv, cfg.dropout_rate)
 
-    key = jax.random.PRNGKey(cfg.seed)
+    # Typed threefry: raw PRNGKeys follow the process-global default impl
+    # (utils/rng.py) — results must not depend on flag history.
+    key = threefry_key(cfg.seed)
     k1, k2 = jax.random.split(key)
     X_d = jnp.asarray(X, jnp.float32)
     y_d = jnp.asarray(y, jnp.float32).reshape(-1, 1)
@@ -222,7 +226,7 @@ def train_adversarial(
         l_adv = _bce(adv.apply({"params": ap}, jnp.concatenate([yhat, yv], 1)), zv)
         return l_pred - cfg.alpha * l_adv + l_pred / (l_adv + 1e-8)
 
-    dropout_root = (jax.random.PRNGKey(cfg.seed + 1)
+    dropout_root = (threefry_key(cfg.seed + 1)
                     if cfg.dropout_rate > 0 else None)
     for t in range(cfg.num_iters):
         kt = (None if dropout_root is None

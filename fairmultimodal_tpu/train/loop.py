@@ -43,6 +43,10 @@ __all__ = ["TrainConfig", "PlateauScheduler", "EarlyStopper", "FAMETrainer"]
 MODALITIES = ("demo", "lab", "text")
 GROUP_SIZES = (len(EXPECTED_AGE_CODES), len(EXPECTED_ETHNICITY_CODES),
                len(EXPECTED_INSURANCE_CODES))
+# Param subtrees outside the reference's loss graph (see train_step): the
+# per-modality classifier heads exist only to drive the dynamic-weight pass.
+_LOSS_FREE_HEADS = frozenset(
+    {"classifier_demo", "classifier_lab", "classifier_text"})
 
 
 @dataclasses.dataclass
@@ -66,6 +70,11 @@ class TrainConfig:
     # (~35% faster train step than threefry at this model's dropout volume,
     # see utils/rng.py); "threefry" restores the JAX default.
     rng_impl: str = "unsafe_rbg"
+    # Test hook: run the TRAIN forward with dropout disabled so multi-step
+    # trajectories are deterministic and comparable against a torch oracle
+    # (tests/test_e2e_torch_parity.py drives the trainer's real compiled
+    # train_step with this on).  Never set in production configs.
+    deterministic_forward: bool = False
 
 
 class PlateauScheduler:
@@ -139,8 +148,13 @@ class FAMETrainer:
         self.pos_weight = jnp.asarray(pos_weight, jnp.float32)
         self.mesh = mesh
         self.dynamic_weights_csv = dynamic_weights_csv
+        from fairmultimodal_tpu.ops.optim import clip_by_global_norm_torch
+
+        # torch-exact clip (the +1e-6 denominator of clip_grad_norm_,
+        # 10_FAME.py:446) so trajectories match the reference bit-for-bit
+        # at f64 — see ops/optim.py and the trajectory oracle.
         self.tx = optax.chain(
-            optax.clip_by_global_norm(config.grad_clip),
+            clip_by_global_norm_torch(config.grad_clip),
             optax.inject_hyperparams(optax.adamw)(
                 learning_rate=config.lr, weight_decay=config.weight_decay),
         )
@@ -150,7 +164,10 @@ class FAMETrainer:
         self._rng = make_rng(rngs_seed, config.rng_impl)
         self._build_steps()
         # Initial dynamic weights: 0.33 per modality per task (10_FAME:792-796).
-        self.dynamic_weights = np.full((3, 3), 0.33, np.float32)
+        # Host-side storage is FLOAT64 like the reference's python floats
+        # (the fit-protocol oracle compares trajectories at 1e-8); the
+        # device step still consumes the f32 downcast under normal mode.
+        self.dynamic_weights = np.full((3, 3), 0.33)
         self.history: List[Dict[str, Any]] = []
         self.tracked_dynamic_weights = {t: [] for t in TASKS}
         self.tracked_sigmoid_weights: List[np.ndarray] = []
@@ -159,9 +176,11 @@ class FAMETrainer:
 
     def _loss_fn(self, params, batch, dyn_w, rng, train: bool,
                  axis_name: Optional[str] = None):
+        train_fwd = train and not self.config.deterministic_forward
         out = self.model.apply(
             {"params": params}, batch["model_inputs"], dynamic_weights=dyn_w,
-            deterministic=not train, rngs={"dropout": rng} if train else None)
+            deterministic=not train_fwd,
+            rngs={"dropout": rng} if train_fwd else None)
         logits = out["fused_logits"]
         labels = batch["labels"]
         w = batch["weight"]
@@ -235,6 +254,21 @@ class FAMETrainer:
             (total, (bce, leddi)), grads = jax.value_and_grad(
                 loss_for_grad, has_aux=True)(params, batch, dyn_w, rng)
             updates, opt_state = self.tx.update(grads, opt_state, params)
+            # The reference joint loss never touches the modality classifier
+            # heads (10_FAME.py:401-449 uses fused_logits only), so torch
+            # autograd leaves their .grad None and AdamW SKIPS them entirely
+            # — frozen at init with NO weight decay (:786).  optax.adamw
+            # would still apply the decoupled wd*p term to their exactly-
+            # zero-gradient leaves; zero those updates so the heads stay
+            # bit-frozen like the reference (their logits drive the dynamic-
+            # weight pass, so slow decay would drift the weight trajectory).
+            # Their Adam moments stay zero (zero grads), so this is the only
+            # term to suppress.
+            updates = jax.tree_util.tree_map_with_path(
+                lambda path, u: jnp.zeros_like(u) if any(
+                    getattr(k, "key", None) in _LOSS_FREE_HEADS
+                    for k in path) else u,
+                updates)
             params = optax.apply_updates(params, updates)
             return params, opt_state, total, bce
 
@@ -578,7 +612,7 @@ class FAMETrainer:
             upd = np.clip(self.config.beta * (e_max - np.asarray(eddis)), -0.05, 0.05)
             w = np.maximum(prev + upd, 0.1)
             new_w[t] = w / w.sum()
-        self.dynamic_weights = new_w.astype(np.float32)
+        self.dynamic_weights = new_w       # f64, like the reference
         return self.dynamic_weights
 
     def extract_vectors(self, params, loader) -> Dict[str, np.ndarray]:
@@ -645,7 +679,7 @@ class FAMETrainer:
                 opt_state = state["opt_state"]
                 best_params = state["best_params"]
                 self.dynamic_weights = np.asarray(state["dynamic_weights"],
-                                                  np.float32)
+                                                  np.float64)
                 sched.lr, sched.best, sched.num_bad, stopper.best, \
                     stopper.counter = state["scalars"].tolist()
                 sched.num_bad = int(sched.num_bad)

@@ -47,6 +47,10 @@ class SimpleTrainConfig:
     seed: int = 42
     # "unsafe_rbg" = TPU hardware RBG for dropout masks (see utils/rng.py).
     rng_impl: str = "unsafe_rbg"
+    # Test hook (float64 trajectory oracle): run the TRAIN forward with
+    # dropout off so multi-step trajectories are deterministic and
+    # comparable against torch.  Never set in production configs.
+    deterministic_forward: bool = False
 
 
 def masked_task_loss(logits, labels, weight, *, loss: str, gamma: float,
@@ -89,7 +93,10 @@ class MultitaskTrainer:
         kwargs = {"weight_decay": config.weight_decay} if config.optimizer == "adamw" else {}
         pieces = []
         if config.grad_clip:
-            pieces.append(optax.clip_by_global_norm(config.grad_clip))
+            from fairmultimodal_tpu.ops.optim import clip_by_global_norm_torch
+
+            # torch-exact clip semantics (+1e-6 denominator) — see ops/optim.
+            pieces.append(clip_by_global_norm_torch(config.grad_clip))
         pieces.append(optax.inject_hyperparams(opt)(learning_rate=config.lr, **kwargs))
         self.tx = optax.chain(*pieces)
         from fairmultimodal_tpu.utils.rng import make_rng
@@ -99,9 +106,11 @@ class MultitaskTrainer:
         self._build()
 
     def _loss(self, params, batch, rng, train: bool):
+        train_fwd = train and not self.config.deterministic_forward
         out = self.model.apply(
-            {"params": params}, batch["model_inputs"], deterministic=not train,
-            rngs={"dropout": rng} if train else None)
+            {"params": params}, batch["model_inputs"],
+            deterministic=not train_fwd,
+            rngs={"dropout": rng} if train_fwd else None)
         logits = out["logits"] if isinstance(out, dict) else out
         base = masked_task_loss(logits, batch["labels"], batch["weight"],
                                 loss=self.config.loss, gamma=self.config.gamma,

@@ -99,7 +99,7 @@ def test_dynamic_weight_update_scan_matches_batchwise():
     params = trainer.init_params(next(iter(host)))
 
     w_host = trainer.update_dynamic_weights(params, host).copy()
-    trainer.dynamic_weights = np.full((3, 3), 0.33, np.float32)
+    trainer.dynamic_weights = np.full((3, 3), 0.33)   # f64, like the trainer init
     w_dev = trainer.update_dynamic_weights(params, dev)
     np.testing.assert_allclose(w_host, w_dev, rtol=0, atol=0)
     assert dev.epoch == 1  # the scan path consumed the epoch like iteration

@@ -900,8 +900,10 @@ def test_adv_debias_training_matches_torch():
     out = train_adversarial(X, y, z, Xv, yv, zv, cfg, verbose=False,
                             log_every=1)
 
-    # Rebuild the exact Flax init (same code path as train_adversarial).
-    key = jax.random.PRNGKey(cfg.seed)
+    # Rebuild the exact Flax init (same code path as train_adversarial —
+    # which pins a TYPED threefry key, so this must too: a raw PRNGKey
+    # follows the process-global impl flag and diverges in full-suite runs).
+    key = jax.random.key(cfg.seed, impl="threefry2x32")
     k1, k2 = jax.random.split(key)
     p0 = AdvPredictor(cfg.num_nodes, 0.0).init(
         k1, jnp.asarray(X[:1]))["params"]
@@ -1262,7 +1264,8 @@ def test_behrt_combined_end_to_end_matches_torch():
 # --- Legacy generations (SURVEY §2.4): sequence BEHRT + EDDI-dot fusion ------
 
 SEQ_S = 8
-N_DIS, N_ADM, N_DIS_LOC = 10, 3, 3
+# Distinct names: N_ADM/N_DIS above belong to the 07 avg-fusion replica.
+SEQ_DIS, SEQ_ADM, SEQ_DISCH = 10, 3, 3
 
 
 def behrt_sequence_flax_to_torch(params):
@@ -1287,15 +1290,15 @@ class TorchBEHRTSequence(torch.nn.Module):
         super().__init__()
         nn = torch.nn
         cfg = transformers.BertConfig(
-            vocab_size=N_DIS + N_AGE + 2 + N_ADM + N_DIS_LOC + 2,
+            vocab_size=SEQ_DIS + N_AGE + 2 + SEQ_ADM + SEQ_DISCH + 2,
             hidden_size=H, num_hidden_layers=LAYERS, num_attention_heads=NH,
             intermediate_size=H * 4, max_position_embeddings=512,
             type_vocab_size=2)
         self.bert = transformers.BertModel(cfg, add_pooling_layer=False)
         self.age_embedding = nn.Embedding(N_AGE, H)
         self.segment_embedding = nn.Embedding(2, H)
-        self.admission_loc_embedding = nn.Embedding(N_ADM, H)
-        self.discharge_loc_embedding = nn.Embedding(N_DIS_LOC, H)
+        self.admission_loc_embedding = nn.Embedding(SEQ_ADM, H)
+        self.discharge_loc_embedding = nn.Embedding(SEQ_DISCH, H)
         self.gender_embedding = nn.Embedding(N_GEN, H)
         self.ethnicity_embedding = nn.Embedding(N_ETH, H)
         self.insurance_embedding = nn.Embedding(N_INS, H)
@@ -1326,16 +1329,16 @@ def _legacy_seq_batch(rng):
     b = {
         # Zeros appear so the ids!=0 mask path is exercised; age ids include
         # out-of-range values so both clamps are exercised.
-        "disease_ids": rng.integers(0, N_DIS, (B, SEQ_S)).astype(np.int32),
+        "disease_ids": rng.integers(0, SEQ_DIS, (B, SEQ_S)).astype(np.int32),
         "age_ids": rng.integers(0, N_AGE + 2, (B, SEQ_S)).astype(np.int32),
         "segment_ids": (np.arange(SEQ_S, dtype=np.int32) % 2)[None].repeat(B, 0),
-        "adm_loc_ids": rng.integers(0, N_ADM, (B, SEQ_S)).astype(np.int32),
-        "disch_loc_ids": rng.integers(0, N_DIS_LOC, (B, SEQ_S)).astype(np.int32),
+        "adm_loc_ids": rng.integers(0, SEQ_ADM, (B, SEQ_S)).astype(np.int32),
+        "disch_loc_ids": rng.integers(0, SEQ_DISCH, (B, SEQ_S)).astype(np.int32),
         "gender_ids": rng.integers(0, N_GEN, (B, SEQ_S)).astype(np.int32),
         "ethnicity_ids": rng.integers(0, N_ETH, (B, SEQ_S)).astype(np.int32),
         "insurance_ids": rng.integers(0, N_INS, (B, SEQ_S)).astype(np.int32),
     }
-    b["disease_ids"][:, 0] = 1 + b["disease_ids"][:, 0] % (N_DIS - 1)  # live CLS
+    b["disease_ids"][:, 0] = 1 + b["disease_ids"][:, 0] % (SEQ_DIS - 1)  # live CLS
     return b
 
 
@@ -1350,8 +1353,8 @@ def test_legacy_behrt_sequence_end_to_end_matches_torch():
     labels = rng.integers(0, 2, (B, 3)).astype(np.float32)
 
     model = BEHRTSequence(
-        num_diseases=N_DIS, num_ages=N_AGE, num_segments=2,
-        num_admission_locs=N_ADM, num_discharge_locs=N_DIS_LOC,
+        num_diseases=SEQ_DIS, num_ages=N_AGE, num_segments=2,
+        num_admission_locs=SEQ_ADM, num_discharge_locs=SEQ_DISCH,
         num_genders=N_GEN, num_ethnicities=N_ETH, num_insurances=N_INS,
         hidden_size=H, num_hidden_layers=LAYERS, num_attention_heads=NH)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -1504,10 +1507,14 @@ def test_legacy_eddi_end_to_end_matches_torch():
     n = _compare_grads(grads_sd, ref, atol=1e-4 * 100)
     assert n > 40
 
-    # clip_grad_norm_(1.0) == optax.clip_by_global_norm(1.0), and it engages.
+    # clip_grad_norm_(1.0) == clip_by_global_norm_torch(1.0) (the transform
+    # MultitaskTrainer actually chains — incl. torch's +1e-6 denominator),
+    # and it engages.
+    from fairmultimodal_tpu.ops.optim import clip_by_global_norm_torch
+
     total = torch.nn.utils.clip_grad_norm_(ref.parameters(), max_norm=1.0)
     assert total.item() > 1.0
-    clip_tx = optax.clip_by_global_norm(1.0)
+    clip_tx = clip_by_global_norm_torch(1.0)
     clipped, _ = clip_tx.update(grads, clip_tx.init(params))
     clipped_sd = legacy_eddi_flax_to_torch(
         jax.tree_util.tree_map(np.asarray, clipped))
@@ -1584,3 +1591,432 @@ def test_text_only_classifier_end_to_end_matches_torch():
         jax.tree_util.tree_map(np.asarray, grads)["fc2"])
     n = _compare_grads(gsd, ref, atol=1e-5)
     assert n == 4
+
+
+# --- Multi-step optimizer trajectory (10_FAME.py:446,786-787,829) ------------
+
+@pytest.mark.slow
+def test_fame_optimizer_trajectory_matches_torch():
+    """Six steps of FAMETrainer's REAL compiled train_step — the whole
+    clip_by_global_norm(1.0) -> AdamW(wd=0.01) chain plus the loss-free-head
+    freeze and a mid-run plateau lr decay via set_lr — against the reference
+    training loop in torch (backward -> clip_grad_norm_(1.0) -> AdamW.step,
+    10_FAME.py:444-447, optimizer at :786, ReduceLROnPlateau decay at :829).
+
+    Runs in FLOAT64 on both sides: Adam's first steps are g/(|g|+1e-8)
+    elementwise, so near-zero-gradient elements amplify fp32 forward noise
+    (~1e-7) to a full +-lr sign flip — measured 2e-3 max param divergence
+    after ONE fp32 step.  In f64 the same amplification acts on ~1e-15
+    noise, leaving the comparison tight enough (<=1e-8) to catch any real
+    semantic divergence in the update chain.
+
+    Asserts per-step losses, EVERY final parameter leaf-for-leaf, and that
+    the modality classifier heads end bit-identical to init on both sides
+    (torch AdamW skips .grad-None params entirely — no weight decay; the
+    trainer zeroes their updates to match, see train_step's freeze)."""
+    from fairmultimodal_tpu.train.loop import FAMETrainer, TrainConfig
+
+    rng = np.random.default_rng(7)
+    host_batches = []
+    for _ in range(2):
+        b = _example_batch(rng)
+        b = {k: v.astype(np.float64) if v.dtype == np.float32 else v
+             for k, v in b.items()}
+        labels = rng.integers(0, 2, (B, 3)).astype(np.float64)
+        host_batches.append((b, labels))
+    dyn_w = np.full((3, 3), 0.33, np.float32)   # upcast identically below
+    LR = 1e-3
+
+    with jax.enable_x64(True):
+        model = FAMEModel(num_ages=N_AGE, num_genders=N_GEN,
+                          num_ethnicities=N_ETH, num_insurances=N_INS,
+                          lab_token_count=LABS, hidden_size=H,
+                          demo_layers=LAYERS, demo_heads=NH,
+                          lab_layers=2, lab_heads=NH, dtype=jnp.float64)
+        cfg = TrainConfig(lr=LR, weight_decay=0.01, grad_clip=1.0,
+                          lambda_edd=LAMBDA_EDD, lambda_l1=LAMBDA_L1,
+                          batch_size=B, rng_impl="threefry",
+                          deterministic_forward=True)
+        trainer = FAMETrainer(model, cfg, pos_weight=POS_W)
+
+        def device_batch(b, labels):
+            return {"model_inputs": {k: jnp.asarray(v) for k, v in b.items()},
+                    "labels": jnp.asarray(labels),
+                    "weight": jnp.ones(B, jnp.float64)}
+
+        # Param draws are f32 (init dtype is param_dtype, independent of the
+        # compute dtype); upcast the tree so the whole trajectory runs f64.
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64),
+            trainer.init_params(device_batch(*host_batches[0])))
+        heads_init = {h: jax.tree_util.tree_map(np.asarray,
+                                                params["fusion"][h])
+                      for h in ("classifier_demo", "classifier_lab",
+                                "classifier_text")}
+        opt_state = trainer.init_opt_state(params)
+
+        ref = TorchFAME().double()
+        sd0 = fame_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+        missing, unexpected = ref.load_state_dict(
+            {k: torch.tensor(v, dtype=torch.float64) for k, v in sd0.items()},
+            strict=False)
+        assert not unexpected
+        ref.eval()      # TorchFAME has no dropout modules; parity of intent
+        opt = torch.optim.AdamW(ref.parameters(), lr=LR, weight_decay=0.01)
+
+        def torch_joint_loss(b, labels):
+            tb = {k: torch.tensor(v) for k, v in b.items()}
+            out = ref(tb, torch.tensor(dyn_w[0], dtype=torch.float64))
+            tl = torch.tensor(labels)
+            bce = torch.nn.BCEWithLogitsLoss(
+                pos_weight=torch.tensor(POS_W, dtype=torch.float64))(
+                    out["fused_logits"], tl)
+            leddi = reference_leddi(
+                torch.sigmoid(out["fused_logits"]), tl,
+                [torch.tensor(b[k]) for k in
+                 ("age_ids", "ethnicity_ids", "insurance_ids")])
+            l1 = torch.sum(torch.abs(ref.sig_weights))
+            return bce + LAMBDA_EDD * (10 * leddi) + LAMBDA_L1 * l1
+
+        jdw = jnp.asarray(dyn_w)
+        step_rng = jax.random.key(0, impl="threefry2x32")  # unused: no dropout
+        for step in range(6):
+            if step == 3:   # plateau decay fires: lr *= 0.1 on BOTH sides
+                opt_state = trainer.set_lr(opt_state, LR * 0.1)
+                for g in opt.param_groups:
+                    g["lr"] = LR * 0.1
+            b, labels = host_batches[step % 2]
+
+            loss_ref = torch_joint_loss(b, labels)
+            opt.zero_grad()
+            loss_ref.backward()
+            torch.nn.utils.clip_grad_norm_(ref.parameters(), max_norm=1.0)
+            opt.step()
+
+            params, opt_state, total, _ = trainer._train_step(
+                params, opt_state, device_batch(b, labels), jdw, step_rng)
+            assert float(total) == pytest.approx(
+                loss_ref.item(), rel=1e-8), f"step {step}"
+
+        final_sd = fame_flax_to_torch(
+            jax.tree_util.tree_map(np.asarray, params))
+        torch_sd = {k: p.detach().numpy() for k, p in ref.named_parameters()}
+        compared = 0
+        for name, v in final_sd.items():
+            if name not in torch_sd:
+                continue
+            np.testing.assert_allclose(
+                v, torch_sd[name], atol=1e-9, rtol=1e-6,
+                err_msg=f"param trajectory diverged at {name} after 6 steps")
+            compared += 1
+        assert compared == len(torch_sd)
+
+        # Loss-free modality heads: bit-identical to init on BOTH sides.
+        for h, init_tree in heads_init.items():
+            fu = jax.tree_util.tree_map(np.asarray, params["fusion"][h])
+            assert np.array_equal(fu["kernel"], init_tree["kernel"])
+            assert np.array_equal(fu["bias"], init_tree["bias"])
+            np.testing.assert_array_equal(torch_sd[f"{h}.weight"],
+                                          sd0[f"{h}.weight"])
+
+
+# --- Full fit-protocol oracle (10_FAME.py:788-860) ---------------------------
+
+def _reference_compute_eddi(y_true, y_pred_bin, sens, complete_groups):
+    """Verbatim numpy compute_eddi (10_FAME.py:54-81): max(1-err, err)
+    denominator (the `not in [0,1]` line is dead — unconditionally
+    overwritten), subgroup (er - overall)/denom over PRESENT groups,
+    sqrt(sum sq)/n_present."""
+    y_bin = (y_pred_bin > 0.5).astype(int)
+    overall = np.mean(y_bin != y_true)
+    denom = (1 - overall) if overall < 0.5 else overall
+    subs = []
+    for g in complete_groups:
+        m = sens == g
+        if np.sum(m) == 0:
+            continue
+        er = np.mean(y_bin[m] != y_true[m])
+        subs.append((er - overall) / denom)
+    if not subs:
+        return 0.0
+    return float(np.sqrt(np.sum(np.square(subs))) / len(subs))
+
+
+@pytest.mark.slow
+def test_fame_fit_protocol_matches_torch():
+    """FOUR epochs of FAMETrainer.fit — the COMPLETE training protocol:
+    per-epoch train pass, BCE-only validation (10_FAME.py:812-826), torch
+    ReduceLROnPlateau semantics (:829), best-state capture / early-stop
+    bookkeeping (:830-840), and the EDDI dynamic-weight pass over the train
+    loader (:315-399 with compute_eddi :54-81) — against a verbatim torch +
+    numpy replica of the reference's epoch loop, in float64 on both sides.
+
+    Asserts per-epoch train/val losses (rel 1e-8), the lr trajectory
+    (exact), the dynamic-weight trajectory (atol 1e-12), and every final
+    best-param leaf (atol 1e-9)."""
+    from fairmultimodal_tpu.train.loop import FAMETrainer, TrainConfig
+
+    rng = np.random.default_rng(11)
+    n_train, n_val = 3, 2
+    train_hb, val_hb = [], []
+    for dst, n in ((train_hb, n_train), (val_hb, n_val)):
+        for _ in range(n):
+            b = _example_batch(rng)
+            b = {k: v.astype(np.float64) if v.dtype == np.float32 else v
+                 for k, v in b.items()}
+            labels = rng.integers(0, 2, (B, 3)).astype(np.float64)
+            dst.append((b, labels))
+    LR = 1e-3
+    EPOCHS = 4
+
+    with jax.enable_x64(True):
+        model = FAMEModel(num_ages=N_AGE, num_genders=N_GEN,
+                          num_ethnicities=N_ETH, num_insurances=N_INS,
+                          lab_token_count=LABS, hidden_size=H,
+                          demo_layers=LAYERS, demo_heads=NH,
+                          lab_layers=2, lab_heads=NH, dtype=jnp.float64)
+        cfg = TrainConfig(lr=LR, weight_decay=0.01, grad_clip=1.0,
+                          lambda_edd=LAMBDA_EDD, lambda_l1=LAMBDA_L1,
+                          batch_size=B, num_epochs=EPOCHS, patience=10,
+                          scheduler_factor=0.1, scheduler_patience=1,
+                          threshold=0.5, beta=1.0, rng_impl="threefry",
+                          deterministic_forward=True)
+        trainer = FAMETrainer(model, cfg, pos_weight=POS_W)
+
+        def device_batch(b, labels):
+            return {"model_inputs": {k: jnp.asarray(v) for k, v in b.items()},
+                    "labels": jnp.asarray(labels),
+                    "weight": jnp.ones(B, jnp.float64)}
+
+        train_loader = [device_batch(*x) for x in train_hb]
+        val_loader = [device_batch(*x) for x in val_hb]
+
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64),
+            trainer.init_params(train_loader[0]))
+
+        ref = TorchFAME().double()
+        sd0 = fame_flax_to_torch(jax.tree_util.tree_map(np.asarray, params))
+        ref.load_state_dict(
+            {k: torch.tensor(v, dtype=torch.float64) for k, v in sd0.items()},
+            strict=False)
+        ref.eval()
+        opt = torch.optim.AdamW(ref.parameters(), lr=LR, weight_decay=0.01)
+        scheduler = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="min", factor=0.1, patience=1)
+        pos_w_t = torch.tensor(POS_W, dtype=torch.float64)
+
+        def torch_forward(b, w_mort):
+            tb = {k: torch.tensor(v) for k, v in b.items()}
+            return ref(tb, torch.tensor(w_mort, dtype=torch.float64))
+
+        def torch_joint(out, b, labels):
+            tl = torch.tensor(labels)
+            bce = torch.nn.BCEWithLogitsLoss(pos_weight=pos_w_t)(
+                out["fused_logits"], tl)
+            leddi = reference_leddi(
+                torch.sigmoid(out["fused_logits"]), tl,
+                [torch.tensor(b[k]) for k in
+                 ("age_ids", "ethnicity_ids", "insurance_ids")])
+            l1 = torch.sum(torch.abs(ref.sig_weights))
+            return bce + LAMBDA_EDD * (10 * leddi) + LAMBDA_L1 * l1
+
+        # -- the torch replica of the reference epoch loop ----------------
+        GROUPS = {"age": np.arange(N_AGE), "ethnicity": np.arange(N_ETH),
+                  "insurance": np.arange(N_INS)}
+        old_w = {t: np.array([0.33, 0.33, 0.33]) for t in
+                 ("mortality", "los", "mechanical_ventilation")}
+        ref_hist, ref_dynw = [], []
+        best_val, best_sd = float("inf"), None
+        for epoch in range(EPOCHS):
+            running = 0.0
+            for b, labels in train_hb:
+                loss = torch_joint(torch_forward(b, old_w["mortality"]),
+                                   b, labels)
+                opt.zero_grad()
+                loss.backward()
+                torch.nn.utils.clip_grad_norm_(ref.parameters(), max_norm=1.0)
+                opt.step()
+                running += loss.item()
+            avg_train = running / len(train_hb)
+            with torch.no_grad():
+                val = np.mean([
+                    torch.nn.BCEWithLogitsLoss(pos_weight=pos_w_t)(
+                        torch_forward(b, old_w["mortality"])["fused_logits"],
+                        torch.tensor(labels)).item()
+                    for b, labels in val_hb])
+            scheduler.step(val)
+            ref_hist.append((avg_train, float(val), opt.param_groups[0]["lr"]))
+            if val < best_val:
+                best_val = val
+                best_sd = {k: p.detach().clone()
+                           for k, p in ref.named_parameters()}
+            # dynamic-weight pass over the TRAIN loader (10_FAME.py:315-399)
+            with torch.no_grad():
+                preds = {t: {m: [] for m in ("demo", "lab", "text")}
+                         for t in old_w}
+                labs_all, sens_all = {t: [] for t in old_w}, \
+                    {a: [] for a in GROUPS}
+                for b, labels in train_hb:
+                    out = torch_forward(b, old_w["mortality"])
+                    for ti, task in enumerate(old_w):
+                        for m in ("demo", "lab", "text"):
+                            p = torch.sigmoid(
+                                out["modality_logits"][m])[:, ti] > 0.5
+                            preds[task][m].append(p.numpy().astype(float))
+                        labs_all[task].append(labels[:, ti])
+                    for a, key in (("age", "age_ids"),
+                                   ("ethnicity", "ethnicity_ids"),
+                                   ("insurance", "insurance_ids")):
+                        sens_all[a].append(b[key])
+            new_w = {}
+            for task in old_w:
+                y = np.concatenate(labs_all[task])
+                eddis = []
+                for m in ("demo", "lab", "text"):
+                    yp = np.concatenate(preds[task][m])
+                    per = [_reference_compute_eddi(
+                        y, yp, np.concatenate(sens_all[a]), GROUPS[a])
+                        for a in ("age", "ethnicity", "insurance")]
+                    eddis.append(
+                        np.sqrt(per[0]**2 + per[1]**2 + per[2]**2) / 3.0)
+                e_max = max(eddis)
+                upd = np.clip(1.0 * (e_max - np.asarray(eddis)), -0.05, 0.05)
+                w = np.maximum(old_w[task] + upd, 0.1)
+                new_w[task] = w / w.sum()
+            old_w = new_w
+            ref_dynw.append(np.stack([new_w[t] for t in new_w]))
+
+        # -- our fit ------------------------------------------------------
+        best_params, history = trainer.fit(params, train_loader, val_loader,
+                                           verbose=False)
+
+        assert len(history) == EPOCHS
+        for e, (h, (rt, rv, rlr)) in enumerate(zip(history, ref_hist)):
+            assert h["train_loss"] == pytest.approx(rt, rel=1e-8), f"epoch {e}"
+            assert h["val_loss"] == pytest.approx(rv, rel=1e-8), f"epoch {e}"
+            assert h["lr"] == pytest.approx(rlr, rel=1e-12), f"epoch {e}"
+        for ti, task in enumerate(("mortality", "los",
+                                   "mechanical_ventilation")):
+            ours = np.asarray(trainer.tracked_dynamic_weights[task])
+            np.testing.assert_allclose(
+                ours, np.stack([w[ti] for w in ref_dynw]), atol=1e-12,
+                err_msg=f"dynamic-weight trajectory diverged for {task}")
+
+        final_sd = fame_flax_to_torch(
+            jax.tree_util.tree_map(np.asarray, best_params))
+        compared = 0
+        for name, v in final_sd.items():
+            if name not in best_sd:
+                continue
+            # 12 train steps of f64 Adam drift: measured max divergence
+            # 4.7e-9 on one element in 393k (fp32 gives 2e-3 after ONE step).
+            np.testing.assert_allclose(
+                v, best_sd[name].numpy(), atol=1e-8, rtol=1e-5,
+                err_msg=f"best-param divergence at {name}")
+            compared += 1
+        assert compared == len(best_sd)
+
+
+@pytest.mark.slow
+def test_multitask_trainer_trajectory_matches_torch():
+    """Five steps of MultitaskTrainer's REAL compiled train_step — the
+    baseline-family protocol chain (clip_by_global_norm_torch(1.0) -> plain
+    Adam, the legacy-EDDI regime: FocalLoss gamma=2 + pos_weight,
+    EDDI.py:346,538-545) — against torch clip_grad_norm_ + Adam, in float64,
+    including a mid-run set_lr plateau decay.  Complements the FAME oracle:
+    this pins the OTHER trainer and the optax.adam (no-wd) path, where
+    zero-gradient params must stay frozen on both sides with no masking
+    needed (plain Adam's update is m-hat/(sqrt(v-hat)+eps) = 0)."""
+    import optax  # noqa: F401  (documents the transform under test)
+
+    from fairmultimodal_tpu.models.legacy import LegacyEDDIFull
+    from fairmultimodal_tpu.train.simple import (
+        MultitaskTrainer,
+        SimpleTrainConfig,
+    )
+
+    rng = np.random.default_rng(53)
+    host_batches = []
+    for _ in range(2):
+        b = _example_batch(rng)
+        b = {k: v.astype(np.float64) if v.dtype == np.float32 else v
+             for k, v in b.items()}
+        labels = rng.integers(0, 2, (B, 2)).astype(np.float64)
+        host_batches.append((b, labels))
+    LR = 1e-3
+
+    with jax.enable_x64(True):
+        model = LegacyEDDIFull(
+            num_ages=N_AGE, num_genders=N_GEN, num_ethnicities=N_ETH,
+            num_insurances=N_INS, lab_token_count=LABS, hidden_size=H,
+            demo_layers=LAYERS, demo_heads=NH, lab_layers=2, lab_heads=NH,
+            num_tasks=2, dtype=jnp.float64)
+        cfg = SimpleTrainConfig(lr=LR, loss="focal", gamma=2.0,
+                                optimizer="adam", grad_clip=1.0,
+                                batch_size=B, rng_impl="threefry",
+                                deterministic_forward=True)
+        trainer = MultitaskTrainer(model, cfg, pos_weight=POS_W2)
+
+        def device_batch(b, labels):
+            return {"model_inputs": {k: jnp.asarray(v) for k, v in b.items()},
+                    "labels": jnp.asarray(labels),
+                    "weight": jnp.ones(B, jnp.float64)}
+
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64),
+            trainer.init_params(device_batch(*host_batches[0])))
+        opt_state = trainer.tx.init(params)
+
+        ref = TorchLegacyEDDI().double()
+        sd0 = legacy_eddi_flax_to_torch(
+            jax.tree_util.tree_map(np.asarray, params))
+        missing, unexpected = ref.load_state_dict(
+            {k: torch.tensor(v, dtype=torch.float64) for k, v in sd0.items()},
+            strict=False)
+        assert not unexpected
+        ref.eval()
+        opt = torch.optim.Adam(ref.parameters(), lr=LR)
+        pw = torch.tensor(POS_W2, dtype=torch.float64)
+
+        def torch_focal(lg, y, pwi):
+            bce = torch.nn.functional.binary_cross_entropy_with_logits(
+                lg, y, reduction="none", pos_weight=pwi)
+            return (((1 - torch.exp(-bce)) ** 2.0) * bce).mean()
+
+        def torch_loss(b, labels):
+            logits, _ = ref({k: torch.tensor(v) for k, v in b.items()})
+            return sum(torch_focal(logits[:, i], torch.tensor(labels[:, i]),
+                                   pw[i]) for i in range(2))
+
+        step_rng = jax.random.key(0, impl="threefry2x32")  # unused: no dropout
+        for step in range(5):
+            if step == 3:
+                opt_state = trainer.set_lr(opt_state, LR * 0.1)
+                for g in opt.param_groups:
+                    g["lr"] = LR * 0.1
+            b, labels = host_batches[step % 2]
+
+            loss_ref = torch_loss(b, labels)
+            opt.zero_grad()
+            loss_ref.backward()
+            torch.nn.utils.clip_grad_norm_(ref.parameters(), max_norm=1.0)
+            opt.step()
+
+            params, opt_state, loss = trainer._train_step(
+                params, opt_state, device_batch(b, labels), step_rng)
+            assert float(loss) == pytest.approx(
+                loss_ref.item(), rel=1e-8), f"step {step}"
+
+        final_sd = legacy_eddi_flax_to_torch(
+            jax.tree_util.tree_map(np.asarray, params))
+        torch_sd = {k: p.detach().numpy() for k, p in ref.named_parameters()}
+        compared = 0
+        for name, v in final_sd.items():
+            if name not in torch_sd:
+                continue
+            np.testing.assert_allclose(
+                v, torch_sd[name], atol=1e-8, rtol=1e-5,
+                err_msg=f"param trajectory diverged at {name} after 5 steps")
+            compared += 1
+        assert compared == len(torch_sd)

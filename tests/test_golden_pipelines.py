@@ -225,7 +225,10 @@ def test_golden_predict_transcript(frames, tiny_text, tmp_path):
     model = FAMEModel(**geometry)
     arrays = build_model_arrays(bundle)
     jb = {k: jnp.asarray(v[:4]) for k, v in arrays.items()}
-    params = model.init(jax.random.PRNGKey(0), jb)["params"]
+    # Typed threefry: a raw PRNGKey follows the process-global default impl,
+    # which earlier suite tests flip to unsafe_rbg (utils/rng.py) — the
+    # transcript must not depend on suite order.
+    params = model.init(jax.random.key(0, impl="threefry2x32"), jb)["params"]
     path = str(tmp_path / "best.npz")
     save_params_npz(path, params, metadata={
         "model": geometry,

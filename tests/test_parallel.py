@@ -20,6 +20,20 @@ from fairmultimodal_tpu.parallel import (
 from fairmultimodal_tpu.train.loop import FAMETrainer, TrainConfig
 from fairmultimodal_tpu.models.fusion import FAMEModel
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_caches():
+    """Free every compiled executable accumulated by earlier suite modules.
+
+    The reference-geometry (768/12L) 8-virtual-device steps here are the
+    suite's largest compilations; after ~150 tests of cached executables a
+    full-suite run died with an uncaught allocation abort inside
+    block_until_ready (standalone the module passes in isolation).  Clearing
+    jit caches at module entry trades a few recompiles for headroom."""
+    import jax as _jax
+
+    _jax.clear_caches()
+    yield
+
 
 def _tiny_model(labs=8, hidden=16):
     return FAMEModel(num_ages=4, num_genders=2, num_ethnicities=5,
@@ -209,7 +223,7 @@ def test_threshold_argument_is_live():
         return DeviceLoader(raw["model_inputs"], raw["labels"], batch_size=8)
 
     w_default = trainer.update_dynamic_weights(params, loader(), threshold=0.5)
-    trainer.dynamic_weights = np.full((3, 3), 0.33, np.float32)
+    trainer.dynamic_weights = np.full((3, 3), 0.33)   # f64, like the trainer init
     # An extreme threshold flips every prediction to 0 -> different error
     # stats -> different weights (unless the cohort is degenerate).
     w_high = trainer.update_dynamic_weights(params, loader(), threshold=0.999)

@@ -22,6 +22,20 @@ import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_caches():
+    """Free every compiled executable accumulated by earlier suite modules.
+
+    The reference-geometry (768/12L) 8-virtual-device steps here are the
+    suite's largest compilations; after ~150 tests of cached executables a
+    full-suite run died with an uncaught allocation abort inside
+    block_until_ready (standalone the module passes in isolation).  Clearing
+    jit caches at module entry trades a few recompiles for headroom."""
+    import jax as _jax
+
+    _jax.clear_caches()
+    yield
+
 from fairmultimodal_tpu.data.device import DeviceLoader
 from fairmultimodal_tpu.models.fusion import FAMEModel
 from fairmultimodal_tpu.parallel import get_mesh, shard_batch
