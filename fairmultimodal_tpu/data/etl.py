@@ -26,7 +26,8 @@ from typing import Dict, List, Optional
 import numpy as np
 import pandas as pd
 
-__all__ = ["run_etl", "FEATURE_SET_C", "split_text_to_chunks", "clean_note_text"]
+__all__ = ["run_etl", "FEATURE_SET_C", "split_text_to_chunks",
+           "clean_note_text", "clean_and_chunk_texts", "chunk_lists_to_frame"]
 
 # --- Constant tables (data, reproduced from 00_data.py:64-78,346-352) -------
 
@@ -496,7 +497,54 @@ def build_structured(mimic_dir: str, out_dir: str, los_threshold_hours: float = 
     return merged
 
 
-def build_unstructured(mimic_dir: str, out_dir: str) -> pd.DataFrame:
+def clean_and_chunk_texts(
+    texts: List[str],
+    use_native: Optional[bool] = None,
+) -> tuple:
+    """(cleaned_texts, chunk_lists) for a list of raw note blobs.
+
+    Semantics of the pandas chain in :func:`build_unstructured` —
+    newline/CR -> space, strip, lower, :func:`clean_note_text`,
+    :func:`split_text_to_chunks` (reference 00_data.py:395-439).  When the
+    native scanner (``native/fastnotes``) is available it handles ASCII
+    documents in C++ with identical output (fuzzed in tests/test_native.py);
+    pandas/Python is the fallback and the semantics oracle.
+    """
+    if use_native is not False:
+        try:
+            from fairmultimodal_tpu.data import native
+
+            if native.notes_available():
+                return native.clean_and_chunk_native(list(texts))
+        except Exception:
+            if use_native:
+                raise
+    cleaned = [
+        clean_note_text(("" if t is None else str(t))
+                        .replace("\n", " ").replace("\r", " ").strip().lower())
+        for t in texts
+    ]
+    return cleaned, [split_text_to_chunks(t) for t in cleaned]
+
+
+def chunk_lists_to_frame(chunk_lists: List[List[str]], index) -> pd.DataFrame:
+    """``note_chunk_i`` columns from per-doc chunk lists.
+
+    Matches the reference's ``apply(pd.Series)`` construction
+    (00_data.py:431-436) — column order note_chunk_1..max, ``NaN`` pads,
+    object dtype — without the per-row Series allocation.
+    """
+    max_c = max((len(c) for c in chunk_lists), default=0)
+    data = {
+        f"note_chunk_{i + 1}":
+            [cl[i] if i < len(cl) else np.nan for cl in chunk_lists]
+        for i in range(max_c)
+    }
+    return pd.DataFrame(data, index=index)
+
+
+def build_unstructured(mimic_dir: str, out_dir: str,
+                       use_native: Optional[bool] = None) -> pd.DataFrame:
     """First-stay notes -> cleaned text -> 512-token chunk columns
     (00_data.py:441-501)."""
     notes = _read(mimic_dir, "NOTEEVENTS.csv.gz",
@@ -519,17 +567,11 @@ def build_unstructured(mimic_dir: str, out_dir: str) -> pd.DataFrame:
 
     agg = merged.groupby(["subject_id", "hadm_id"]).agg(
         {"TEXT": lambda t: " ".join(t)}).reset_index()
-    agg["TEXT"] = (agg["TEXT"].fillna(" ")
-                   .str.replace("\n", " ", regex=False)
-                   .str.replace("\r", " ", regex=False)
-                   .str.strip().str.lower().apply(clean_note_text))
-
-    def to_chunk_cols(text):
-        return pd.Series({f"note_chunk_{i + 1}": c
-                          for i, c in enumerate(split_text_to_chunks(text))})
-
-    chunks = agg["TEXT"].apply(to_chunk_cols)
-    agg = pd.concat([agg, chunks], axis=1)
+    cleaned, chunk_lists = clean_and_chunk_texts(
+        agg["TEXT"].fillna(" ").tolist(), use_native=use_native)
+    agg["TEXT"] = cleaned
+    agg = pd.concat(
+        [agg, chunk_lists_to_frame(chunk_lists, agg.index)], axis=1)
 
     structured = pd.read_csv(os.path.join(out_dir, "final_structured_dataset.csv"))
     if "los_binary" not in structured.columns:

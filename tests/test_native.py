@@ -202,3 +202,97 @@ def test_aggregate_feature_table_native_matches_pandas(tmp_path, lib_ok):
         np.testing.assert_allclose(
             nat[c].to_numpy(np.float64), ref[c].to_numpy(np.float64),
             rtol=1e-9, atol=1e-12, err_msg=c)
+
+
+# --- fastnotes: note cleaning + chunking ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def notes_ok():
+    if not native.notes_available():
+        pytest.skip("native fastnotes library unavailable")
+    return True
+
+
+def _python_clean_chunk(text, chunk_size=512):
+    """The pandas-path chain from etl.build_unstructured, one doc."""
+    from fairmultimodal_tpu.data.etl import clean_note_text, split_text_to_chunks
+
+    y = ("" if text is None else str(text))
+    y = y.replace("\n", " ").replace("\r", " ").strip().lower()
+    y = clean_note_text(y)
+    return y, split_text_to_chunks(y, chunk_size)
+
+
+def test_fastnotes_handcrafted_cases(notes_ok):
+    cases = [
+        "Admission Date: [**2112-3-4**]  Discharge Date: [**2112-3-9**]\n"
+        "Dr. Smith M.D. examined 12. patients --- done == status [unclosed",
+        "", "   \t  ", "a [b [c] d] e", "[][][]", "[x]",
+        "123.456.78a9. m.d.dr. DR. --__== -=_ 0.",
+        "dr.dr.dr.", "m.d.m.d.", "1.2.3.4.5.6.7.8.9.0.",
+        "admission date:discharge date:admission date:",
+        "--a--b----", "naïve café [é] dr. 5.",   # non-ascii -> python path
+        "[no close at all", "tail ]", "] [ ]",
+        "word\rword\nword", "  leading and trailing  ",
+        "=-=-= == = ==== a",
+    ]
+    cleaned, chunks = native.clean_and_chunk_native(cases, chunk_size=4)
+    for t, c, ch in zip(cases, cleaned, chunks):
+        ref_c, ref_ch = _python_clean_chunk(t, 4)
+        assert c == ref_c, repr(t)
+        assert ch == ref_ch, repr(t)
+
+
+def test_fastnotes_fuzz_parity(notes_ok):
+    """Random note-ish documents through both paths, byte-identical."""
+    rng = np.random.default_rng(20260818)
+    alphabet = list("abcdefghij XYZ.0123456789[]-_=\t\n\r:") + [
+        "dr.", "m.d.", "admission date:", "discharge date:", "--", "__",
+        "==", "[**2112-1-2**]", " 42. ", "é"]
+    docs = []
+    for _ in range(200):
+        n = int(rng.integers(0, 120))
+        docs.append("".join(rng.choice(alphabet) for _ in range(n)))
+    # a couple of long multi-chunk docs
+    docs.append(" ".join(f"tok{i}. [x{i}]" for i in range(3000)))
+    docs.append("dr. " * 2000)
+    cleaned, chunks = native.clean_and_chunk_native(docs, chunk_size=512)
+    for t, c, ch in zip(docs, cleaned, chunks):
+        ref_c, ref_ch = _python_clean_chunk(t, 512)
+        assert c == ref_c, repr(t[:80])
+        assert ch == ref_ch, repr(t[:80])
+
+
+def test_clean_and_chunk_texts_native_matches_python():
+    """The etl helper must agree between forced-native and forced-python."""
+    from fairmultimodal_tpu.data import etl
+
+    if not native.notes_available():
+        pytest.skip("native fastnotes library unavailable")
+    texts = ["Dr. A [**x**] 12. --", "", None, "plain words " * 700, "café ü"]
+    nat_c, nat_ch = etl.clean_and_chunk_texts(texts, use_native=True)
+    ref_c, ref_ch = etl.clean_and_chunk_texts(texts, use_native=False)
+    assert nat_c == ref_c
+    assert nat_ch == ref_ch
+
+
+def test_chunk_lists_to_frame_matches_apply_series():
+    """Fast frame construction == the reference's apply(pd.Series) shape
+    (00_data.py:431-436), including ragged NaN pads and column order."""
+    from fairmultimodal_tpu.data.etl import chunk_lists_to_frame
+
+    chunk_lists = [["a b", "c"], [], ["x"], ["1", "2", "3"]]
+    idx = pd.Index([10, 20, 30, 40])
+
+    def to_chunk_cols(chunks):
+        return pd.Series({f"note_chunk_{i + 1}": c
+                          for i, c in enumerate(chunks)})
+
+    ref = pd.Series(chunk_lists, index=idx).apply(to_chunk_cols)
+    got = chunk_lists_to_frame(chunk_lists, idx)
+    pd.testing.assert_frame_equal(got, ref)
+
+    # all-empty edge: no columns at all
+    empty = chunk_lists_to_frame([[], []], pd.Index([1, 2]))
+    assert list(empty.columns) == [] and len(empty) == 2
