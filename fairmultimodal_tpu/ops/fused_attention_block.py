@@ -77,6 +77,26 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _head_dp(d: int) -> int:
+    """Packed per-head stripe width: d padded up to the 128 lane tile.
+
+    NEGATIVE RESULT (round 3): unpadded d-wide stripes would cut per-head
+    projection MACs 25% at d=96 / 50% at d=64 (eight 96-wide stripes span 6
+    MXU lane tiles where eight padded ones span 8) and shrink the q/k/v/o
+    residual HBM traffic by the same ratio — but Mosaic on this toolchain
+    rejects any lane-dimension slice or BlockSpec whose offset/width is not
+    a 128-multiple ("cannot statically prove that index in dimension 1 is a
+    multiple of 128", vector.load -> vector<64x96xbf16>).  Workarounds all
+    pay the saving back: pltpu.roll per head costs O(S*H) VPU rotates per
+    tensor, 4-head grouping (384 lanes) still needs 96-offset extracts
+    inside the group, and XLA-side unpadded projections reintroduce the
+    [B,S,H] <-> [B,heads,S,d] transposes this kernel exists to remove.
+    Interpret mode accepted unpadded stripes (tests passed), so the guard
+    lives here, not in the kernel index math.
+    """
+    return _round_up(d, 128)
+
+
 # -- packed weight layouts ---------------------------------------------------------
 #
 # Input projections W [H, H] are viewed as [H, heads, d], zero-padded to
@@ -178,7 +198,7 @@ def _fwd_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, mask, *, num_heads: int,
               interpret: bool):
     b, s, h = x.shape
     d = h // num_heads
-    dp = _round_up(d, 128)
+    dp = _head_dp(d)
     scale = 1.0 / (d ** 0.5)
     if mask is None:
         mask = jnp.ones((b, s), jnp.int32)
@@ -437,7 +457,7 @@ def _vjp_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, mask, num_heads, interpret):
                                 num_heads=num_heads, interpret=interpret)
     b, s, h = x.shape
     d = h // num_heads
-    dp = _round_up(d, 128)
+    dp = _head_dp(d)
     packed = (_pack_in(wq, num_heads, d, dp), _pack_in(wk, num_heads, d, dp),
               _pack_in(wv, num_heads, d, dp), _pack_out(wo, num_heads, d, dp))
     if mask is None:
@@ -449,7 +469,7 @@ def _vjp_bwd(num_heads, interpret, residuals, g):
     x, q, k, v, o, packed, mask = residuals
     b, s, h = x.shape
     d = h // num_heads
-    dp = _round_up(d, 128)
+    dp = _head_dp(d)
     scale = 1.0 / (d ** 0.5)
     dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo = _bwd_impl(
         g, x, q, k, v, o, packed, mask, num_heads=num_heads, dp=dp,
@@ -558,7 +578,7 @@ def _fwd_ln_impl(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
                  interpret: bool, ln_eps: float = _LN_EPS):
     b, s, h = x.shape
     d = h // num_heads
-    dp = _round_up(d, 128)
+    dp = _head_dp(d)
     scale = 1.0 / (d ** 0.5)
     if mask is None:
         mask = jnp.ones((b, s), jnp.int32)
@@ -857,7 +877,7 @@ def _vjp_ln_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, mask, seed,
         interpret=interpret, ln_eps=ln_eps)
     b, s, h = x.shape
     d = h // num_heads
-    dp = _round_up(d, 128)
+    dp = _head_dp(d)
     packed = (_pack_in(wq, num_heads, d, dp), _pack_in(wk, num_heads, d, dp),
               _pack_in(wv, num_heads, d, dp), _pack_out(wo, num_heads, d, dp))
     if mask is None:
@@ -870,7 +890,7 @@ def _vjp_ln_bwd(num_heads, rate, deterministic, interpret, ln_eps,
     x, q, k, v, o, z, packed, gamma, mask, seed = residuals
     b, s, h = x.shape
     d = h // num_heads
-    dp = _round_up(d, 128)
+    dp = _head_dp(d)
     scale = 1.0 / (d ** 0.5)
     (dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dgamma,
      dbeta) = _bwd_ln_impl(
