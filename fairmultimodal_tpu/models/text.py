@@ -77,15 +77,37 @@ class _HFTokenizerAdapter:
 class TextEncoder:
     """Frozen BERT text encoder producing CLS embeddings."""
 
-    def __init__(self, config: BertConfig, params, tokenizer, dtype=jnp.float32):
+    def __init__(self, config: BertConfig, params, tokenizer, dtype=jnp.float32,
+                 mesh=None):
         self.config = config
         self.module = BertEncoderModel(config, dtype=dtype)
         self.params = params
         self.tokenizer = tokenizer
-        self._encode_batch = jax.jit(
-            lambda p, ids, mask: self.module.apply(
-                {"params": p}, ids, mask, deterministic=True, pool="cls")
-        )
+        self.mesh = mesh
+
+        def apply_fn(p, ids, mask):
+            return self.module.apply({"params": p}, ids, mask,
+                                     deterministic=True, pool="cls")
+
+        dp_size = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+        if mesh is not None and dp_size > 1 and \
+                dict(mesh.shape).get("model", 1) == 1:
+            # Pure-DP mesh: shard chunk rows over the data axis via shard_map
+            # (manual SPMD), the same mode that carries the Pallas megakernels
+            # on real multi-chip TPU (GSPMD can't partition Mosaic custom
+            # calls — see train/loop.py).  Each shard encodes its rows
+            # independently (no collectives: per-chunk forward only); results
+            # match single-device to last-ulp (per-shard matmul tiling
+            # reassociates — pinned in tests/test_parallel_dp.py).
+            from jax.sharding import PartitionSpec as P
+
+            self._dp_size = dp_size
+            self._encode_batch = jax.jit(jax.shard_map(
+                apply_fn, mesh=mesh,
+                in_specs=(P(), P("data"), P("data")), out_specs=P("data")))
+        else:
+            self._dp_size = 1
+            self._encode_batch = jax.jit(apply_fn)
 
     #: True when this encoder fell back to random init + HashingTokenizer
     #: (set by :meth:`from_pretrained`; manual constructions leave it False).
@@ -99,6 +121,7 @@ class TextEncoder:
         fallback_config: Optional[BertConfig] = None,
         seed: int = 0,
         require_weights: bool = False,
+        mesh=None,
     ) -> "TextEncoder":
         """HF weights + tokenizer when reachable, deterministic random init
         with a hashing tokenizer otherwise.
@@ -146,7 +169,7 @@ class TextEncoder:
                                  jnp.ones((1, 8), jnp.int32))["params"]
             tok = HashingTokenizer(config.vocab_size)
             fallback = True
-        enc = cls(config, params, tok, dtype=dtype)
+        enc = cls(config, params, tok, dtype=dtype, mesh=mesh)
         enc.is_fallback = fallback
         return enc
 
@@ -182,6 +205,11 @@ def encode_note_chunks(
     """
     n_patients = len(note_chunks)
     hidden = encoder.config.hidden_size
+    dp = getattr(encoder, "_dp_size", 1)
+    if dp > 1 and batch_size % dp:
+        # shard_map needs row counts divisible by the data axis; rounding up
+        # only adds pad rows (encoded and discarded), never changes results.
+        batch_size += dp - batch_size % dp
 
     flat_texts: List[str] = []
     owners: List[int] = []

@@ -222,7 +222,7 @@ def prepare_experiment(
     if need_text:
         if text_encoder is None:
             text_encoder = TextEncoder.from_pretrained(
-                text_model, require_weights=require_hf_weights)
+                text_model, require_weights=require_hf_weights, mesh=mesh)
         bundle.text_embeddings = encode_note_chunks(
             text_encoder, bundle.note_chunks, max_length=text_max_length,
             batch_size=text_batch_size)

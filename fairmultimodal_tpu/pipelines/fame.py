@@ -185,7 +185,7 @@ def run_fame_experiment(
     if text_encoder is None:
         text_encoder = TextEncoder.from_pretrained(
             cfg.text_model, dtype=dtype,
-            require_weights=cfg.require_hf_weights)
+            require_weights=cfg.require_hf_weights, mesh=cfg.mesh)
     bundle.text_embeddings = encode_note_chunks(
         text_encoder, bundle.note_chunks, max_length=cfg.text_max_length,
         batch_size=cfg.text_batch_size)
