@@ -93,6 +93,12 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
     p.add_argument("--timing", action="store_true",
                    help="print a per-phase wall-clock block at the end "
                         "(fame/fpm)")
+    p.add_argument("--checkpoint_dir", default=None,
+                   help="FAME/FPM: save an orbax checkpoint per epoch and "
+                        "AUTO-RESUME from the latest one when the directory "
+                        "already holds checkpoints (bit-identical resume: "
+                        "params, opt state, dropout RNG stream, tracked "
+                        "histories, loader shuffle phase)")
     p.add_argument("--require_hf_weights", action="store_true",
                    help="fail instead of random-init fallback when the "
                         "pretrained Bio_ClinicalBERT cannot be loaded "
@@ -309,6 +315,7 @@ def run_pipeline(args) -> int:
                                  reference_compat=args.reference_compat,
                                  require_hf_weights=args.require_hf_weights,
                                  timing=args.timing,
+                                 checkpoint_dir=args.checkpoint_dir,
                                  mesh=_build_mesh(args))
         if args.tiny:
             cfg.hidden_size, cfg.demo_layers, cfg.demo_heads = 64, 1, 2

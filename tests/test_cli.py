@@ -85,3 +85,19 @@ def test_cli_fame_under_dp_mesh(tmp_path):
                "--bsz", "16", "--mesh", "8", "--out_dir", str(tmp_path),
                "--quiet"])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_cli_fame_checkpoint_dir_resume(tmp_path):
+    """--checkpoint_dir saves per-epoch orbax checkpoints and a second run
+    against the same directory auto-resumes (fit() restores the latest step
+    instead of starting over — mechanics pinned in test_checkpoint.py)."""
+    ckpt = tmp_path / "ckpts"
+    args = ["fame", "--synthetic", "64", "--tiny", "--epochs", "2",
+            "--bsz", "16", "--out_dir", str(tmp_path), "--quiet",
+            "--checkpoint_dir", str(ckpt)]
+    assert main(args) == 0
+    steps = os.listdir(ckpt)
+    assert steps, "no checkpoints written"
+    # Second invocation resumes from the latest epoch rather than retraining.
+    assert main(args) == 0
