@@ -4,6 +4,11 @@ bars only; this is the TPU-native replacement).
 - :func:`trace` — context manager wrapping ``jax.profiler.TraceAnnotation``
   so featurize/train/eval phases show up named in TensorBoard/perfetto traces.
 - :func:`profile_to` — capture a full device trace around a block.
+- :func:`hlo_self_times` — parse a captured trace's xplane into per-category
+  and per-op DEVICE self-times.  On the axon tunnel host-side async timing
+  lies (CLAUDE.md), but device-side self-times are measured on-chip and are
+  the one trustworthy decomposition of a step; this is how the round-3
+  speed-of-light audit of the megakernels was produced (docs/ROADMAP.md).
 - :class:`Timer` / :func:`throughput` — ``block_until_ready`` wall-clock
   timing for the patients/sec/chip benchmark metric (BASELINE.json north
   star), with compile-excluded warmup.
@@ -12,12 +17,14 @@ bars only; this is the TPU-native replacement).
 from __future__ import annotations
 
 import contextlib
+import glob
+import os
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 
-__all__ = ["trace", "profile_to", "Timer", "throughput"]
+__all__ = ["trace", "profile_to", "hlo_self_times", "Timer", "throughput"]
 
 
 @contextlib.contextmanager
@@ -85,3 +92,37 @@ def throughput(step_fn: Callable, *args, iters: int = 20, warmup: int = 3,
         "items_per_sec_per_chip": iters * items_per_call / dt / n_chips,
         "n_chips": float(n_chips),
     }
+
+
+def hlo_self_times(logdir: str) -> Tuple[Dict[str, float], Dict[str, float]]:
+    """Per-category and per-op device self-times (us) from a captured trace.
+
+    ``logdir`` is the directory passed to :func:`profile_to` /
+    ``jax.profiler.trace``.  Uses xprof's ``hlo_stats`` converter on the
+    newest ``*.xplane.pb`` under it.  Times are summed over every traced
+    step — divide by the step count for per-step numbers.
+    """
+    import json
+
+    from xprof.convert import raw_to_tool_data as _r2t
+
+    planes = sorted(glob.glob(
+        os.path.join(logdir, "plugins", "profile", "*", "*.xplane.pb")),
+        key=os.path.getmtime)
+    if not planes:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+    data, _ = _r2t.xspace_to_tool_data([planes[-1]], "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode(errors="replace")
+    table = json.loads(data)
+    idx = {c["id"]: k for k, c in enumerate(table["cols"])}
+    by_category: Dict[str, float] = {}
+    by_op: Dict[str, float] = {}
+    for row in table["rows"]:
+        vals = [c["v"] for c in row["c"]]
+        t = float(vals[idx["total_self_time"]] or 0.0)
+        cat = vals[idx["category"]]
+        op = vals[idx["tf_op_name"]] or vals[idx["hlo_op_name"]]
+        by_category[cat] = by_category.get(cat, 0.0) + t
+        by_op[op] = by_op.get(op, 0.0) + t
+    return by_category, by_op

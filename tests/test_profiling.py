@@ -1,0 +1,69 @@
+"""Profiling harness: device-trace capture + hlo_stats parsing round-trip.
+
+The xplane parse path (``hlo_self_times``) is what the round-3
+speed-of-light audit of the megakernels used on the real chip; here it is
+exercised end-to-end on a CPU trace (jax.profiler works on every backend).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fairmultimodal_tpu.utils.profiling import (
+    Timer,
+    hlo_self_times,
+    profile_to,
+    throughput,
+)
+
+
+def test_trace_capture_and_hlo_self_times(tmp_path):
+    """Capture + parse round-trip in a clean subprocess.
+
+    JAX_PLATFORMS must be cpu BEFORE the interpreter starts: the axon
+    sitecustomize (PYTHONPATH) hooks the profiler at import time when the
+    platform is axon, and an in-process override leaves the captured xplane
+    without device-op events (hlo_stats comes back empty)."""
+    import os
+    import subprocess
+    import sys
+
+    pytest.importorskip("xprof")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    code = f"""
+import jax, jax.numpy as jnp
+from fairmultimodal_tpu.utils.profiling import profile_to, hlo_self_times
+f = jax.jit(lambda x: (x @ x).sum())
+x = jnp.ones((512, 512))
+f(x).block_until_ready()
+with profile_to({str(tmp_path)!r}):
+    for _ in range(10):
+        f(x).block_until_ready()
+by_category, by_op = hlo_self_times({str(tmp_path)!r})
+assert by_category and by_op, (by_category, by_op)
+assert all(v >= 0.0 for v in by_category.values())
+assert abs(sum(by_category.values()) - sum(by_op.values())) < 1e-6
+print("TRACE_OK", sorted(by_category))
+"""
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "TRACE_OK" in out.stdout
+
+
+def test_hlo_self_times_missing_trace(tmp_path):
+    pytest.importorskip("xprof")
+    with pytest.raises(FileNotFoundError):
+        hlo_self_times(str(tmp_path))
+
+
+def test_timer_and_throughput():
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((8,))
+    with Timer() as t:
+        y = f(x)
+        t.stop(y)
+    assert t.elapsed > 0
+    stats = throughput(f, x, iters=3, warmup=1, items_per_call=8)
+    assert stats["items_per_sec"] > 0 and stats["n_chips"] >= 1
