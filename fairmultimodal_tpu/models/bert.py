@@ -38,8 +38,13 @@ from fairmultimodal_tpu.ops.attention import multi_head_attention
 from fairmultimodal_tpu.ops.fused_attention_block import (
     can_use_fused_attention_block,
     fused_attention_block_ln,
+    fused_attention_block_ln_infer,
 )
-from fairmultimodal_tpu.ops.fused_ffn import can_use_fused_ffn, fused_ffn_ln
+from fairmultimodal_tpu.ops.fused_ffn import (
+    can_use_fused_ffn,
+    fused_ffn_ln,
+    fused_ffn_ln_infer,
+)
 
 __all__ = ["BertConfig", "BertEncoderModel", "bio_clinical_bert_config",
            "load_hf_bert_params"]
@@ -131,6 +136,10 @@ class BertSelfAttention(nn.Module):
     # None = auto (deterministic + TPU + aligned geometry); True/False forces
     # the Pallas megakernel path (tests force True with the interpreter).
     fused: Optional[bool] = None
+    # Frozen-trunk fast path: skip the backward-only residual streams in the
+    # fused kernels (NOT differentiable — only set where no grad is taken,
+    # e.g. the frozen text encoder).
+    infer_fast: bool = False
 
     @nn.compact
     def __call__(self, hidden, mask, deterministic=True):
@@ -151,6 +160,12 @@ class BertSelfAttention(nn.Module):
             wo, bo = _DenseParams(h, h, name="output_dense")()
             gamma, beta = _LayerNormParams(h, name="output_layer_norm")()
             cst = lambda a: a.astype(self.dtype)
+            if self.infer_fast:
+                return fused_attention_block_ln_infer(
+                    hidden.astype(self.dtype), cst(wq), cst(bq), cst(wk),
+                    cst(bk), cst(wv), cst(bv), cst(wo), cst(bo), gamma, beta,
+                    mask, nh, jax.default_backend() != "tpu",
+                    c.layer_norm_eps)
             return fused_attention_block_ln(
                 hidden.astype(self.dtype), cst(wq), cst(bq), cst(wk), cst(bk),
                 cst(wv), cst(bv), cst(wo), cst(bo), gamma, beta, mask,
@@ -175,12 +190,14 @@ class BertLayer(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
     fused: Optional[bool] = None
+    infer_fast: bool = False
 
     @nn.compact
     def __call__(self, hidden, mask, deterministic=True):
         c = self.config
         h = c.hidden_size
         x = BertSelfAttention(c, dtype=self.dtype, fused=self.fused,
+                              infer_fast=self.infer_fast,
                               name="attention")(hidden, mask, deterministic)
 
         use_fused = self.fused
@@ -200,6 +217,12 @@ class BertLayer(nn.Module):
             w2, b2 = _DenseParams(c.intermediate_size, h, name="output")()
             gamma, beta = _LayerNormParams(h, name="output_layer_norm")()
             cst = lambda a: a.astype(self.dtype)
+            if self.infer_fast:
+                return fused_ffn_ln_infer(
+                    x.reshape(b * s, h).astype(self.dtype), cst(w1), cst(b1),
+                    cst(w2), cst(b2), gamma, beta,
+                    jax.default_backend() != "tpu", "gelu",
+                    c.layer_norm_eps).reshape(b, s, h)
             return fused_ffn_ln(
                 x.reshape(b * s, h).astype(self.dtype), cst(w1), cst(b1),
                 cst(w2), cst(b2), gamma, beta, jnp.zeros((2,), jnp.int32),
@@ -226,6 +249,7 @@ class BertEncoderModel(nn.Module):
     dtype: Any = jnp.float32
     add_pooler: bool = False
     fused: Optional[bool] = None   # None = auto per-layer (see BertLayer)
+    infer_fast: bool = False       # frozen-trunk fast path (see BertLayer)
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
@@ -235,6 +259,7 @@ class BertEncoderModel(nn.Module):
             input_ids, token_type_ids, deterministic)
         for i in range(c.num_hidden_layers):
             x = BertLayer(c, dtype=self.dtype, fused=self.fused,
+                          infer_fast=self.infer_fast,
                           name=f"layer_{i}")(x, attention_mask, deterministic)
         if pool == "cls":
             return x[:, 0, :]

@@ -80,7 +80,11 @@ class TextEncoder:
     def __init__(self, config: BertConfig, params, tokenizer, dtype=jnp.float32,
                  mesh=None):
         self.config = config
-        self.module = BertEncoderModel(config, dtype=dtype)
+        # The text encoder is FROZEN everywhere in the reference (the
+        # BioClinicalBERT embeddings are precomputed, 10_FAME.py:725-731), so
+        # the encode path uses the kernels' inference variants that skip the
+        # backward-only residual streams (ops/fused_*: *_infer).
+        self.module = BertEncoderModel(config, dtype=dtype, infer_fast=True)
         self.params = params
         self.tokenizer = tokenizer
         self.mesh = mesh

@@ -277,3 +277,24 @@ def test_ln_outer_dropout_replay_tpu():
                                rtol=5e-3, atol=3e-2, err_msg="dgamma")
     np.testing.assert_allclose(np.asarray(gf[3]), np.asarray(gr[3]),
                                rtol=5e-3, atol=3e-2, err_msg="dbeta")
+
+
+def test_ln_infer_matches_training_path():
+    """fused_attention_block_ln_infer == fused_attention_block_ln
+    (deterministic): identical math, residual stores skipped."""
+    from fairmultimodal_tpu.ops.fused_attention_block import (
+        fused_attention_block_ln,
+        fused_attention_block_ln_infer,
+    )
+
+    x, w = _x(20), _weights(21)
+    gamma, beta = _ln_params(22)
+    mask = jnp.ones((B, S), jnp.int32).at[:, -4:].set(0)
+    ref = fused_attention_block_ln(
+        x, w["wq"], w["bq"], w["wk"], w["bk"], w["wv"], w["bv"], w["wo"],
+        w["bo"], gamma, beta, mask, jnp.zeros(1, jnp.int32), NH, 0.1, True,
+        True)
+    got = fused_attention_block_ln_infer(
+        x, w["wq"], w["bq"], w["wk"], w["bk"], w["wv"], w["bv"], w["wo"],
+        w["bo"], gamma, beta, mask, NH, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

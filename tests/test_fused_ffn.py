@@ -378,3 +378,24 @@ def test_gelu_ln_epilogue_parity():
                            "dbeta"), g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-3, err_msg=name)
+
+
+def test_ln_infer_matches_training_path():
+    """fused_ffn_ln_infer == fused_ffn_ln (deterministic): identical math,
+    only the backward-only residual stores differ (skipped)."""
+    from fairmultimodal_tpu.ops.fused_ffn import fused_ffn_ln, fused_ffn_ln_infer
+
+    x, w1, b1, w2, b2 = _inputs(11)
+    gamma, beta = _ln_params(12)
+    ref = fused_ffn_ln(x, w1, b1, w2, b2, gamma, beta,
+                       jnp.zeros(2, jnp.int32), 0.1, True, True)
+    got = fused_ffn_ln_infer(x, w1, b1, w2, b2, gamma, beta, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # gelu flavor (the BERT FFN)
+    ref_g = fused_ffn_ln(x, w1, b1, w2, b2, gamma, beta,
+                         jnp.zeros(2, jnp.int32), 0.0, True, True,
+                         activation="gelu", ln_eps=1e-12)
+    got_g = fused_ffn_ln_infer(x, w1, b1, w2, b2, gamma, beta,
+                               interpret=True, activation="gelu",
+                               ln_eps=1e-12)
+    np.testing.assert_array_equal(np.asarray(got_g), np.asarray(ref_g))
