@@ -19,6 +19,7 @@ Common flags (the README-documented set):
   --synthetic N     run on N synthetic patients instead of real CSVs
   --bf16            bfloat16 compute (TPU)
   --tiny            tiny model geometry (CPU smoke)
+  --tensorboard     tfevents export (curves, dynamic weights, final blocks)
 """
 
 from __future__ import annotations
@@ -93,6 +94,13 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
     p.add_argument("--timing", action="store_true",
                    help="print a per-phase wall-clock block at the end "
                         "(fame/fpm)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write TensorBoard event files (per-epoch train/val "
+                        "curves, FAME dynamic-weight trajectories, final "
+                        "test/fairness/EDDI blocks) under "
+                        "<out_dir>/tensorboard/<pipeline>_<ts>/ — the "
+                        "reference README promises this flag "
+                        "(README.md:179-189,228-234) but never implements it")
     p.add_argument("--checkpoint_dir", default=None,
                    help="FAME/FPM: save an orbax checkpoint per epoch and "
                         "AUTO-RESUME from the latest one when the directory "
@@ -165,6 +173,21 @@ def _apply_single_task(cfg, args):
     return cfg
 
 
+def _finish_run(out, args) -> int:
+    """Post-run hooks shared by every training pipeline: optional
+    TensorBoard export (--tensorboard), then the --task report focus."""
+    if getattr(args, "tensorboard", False) and isinstance(out, dict):
+        import time as _time
+
+        from fairmultimodal_tpu.utils.tblog import log_run
+
+        log_run(out, os.path.join(
+            args.out_dir, "tensorboard",
+            f"{args.pipeline}_{_time.strftime('%Y%m%d-%H%M%S')}"),
+            verbose=not args.quiet)
+    return _report_task_focus(out, args)
+
+
 def _report_task_focus(out, args) -> int:
     """--task focus: re-print the selected task's metric block after the
     full run (without --single_task, models are 3-headed like the reference;
@@ -231,7 +254,7 @@ def run_pipeline(args) -> int:
             cfg.hidden_size, cfg.num_hidden_layers = 64, 1
             cfg.num_attention_heads = 2
         out = run_legacy_behrt_experiment(frame, cfg, verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "data":
         from fairmultimodal_tpu.data.etl import run_etl
@@ -323,7 +346,7 @@ def run_pipeline(args) -> int:
             cfg.text_max_length = 64
         out = run_fame_experiment(s, u, cfg, text_encoder=text_encoder,
                                  verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "behrt":
         from fairmultimodal_tpu.pipelines import (
@@ -336,7 +359,7 @@ def run_pipeline(args) -> int:
         tinyize(cfg)
         _apply_single_task(cfg, args)
         out = run_behrt_experiment(s, u, cfg, verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "bioclinicalbert":
         from fairmultimodal_tpu.pipelines import (
@@ -354,7 +377,7 @@ def run_pipeline(args) -> int:
         _apply_single_task(cfg, args)
         out = run_text_only_experiment(s, u, cfg, text_encoder=text_encoder,
                                       verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "dfc":
         from fairmultimodal_tpu.pipelines import DfCPipelineConfig, run_dfc_experiment
@@ -364,7 +387,7 @@ def run_pipeline(args) -> int:
         tinyize(cfg)
         out = run_dfc_experiment(s, u, cfg, text_encoder=text_encoder,
                                 verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "advdebias":
         from fairmultimodal_tpu.pipelines import (
@@ -381,7 +404,7 @@ def run_pipeline(args) -> int:
                                "dropout_rate": [0.1], "alpha": [1.0]}
         out = run_adv_debias_experiment(s, u, cfg, text_encoder=text_encoder,
                                        verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "fairehrclp":
         from fairmultimodal_tpu.pipelines import (
@@ -394,7 +417,7 @@ def run_pipeline(args) -> int:
         tinyize(cfg)
         out = run_fairehr_clp_experiment(s, u, cfg, text_encoder=text_encoder,
                                         verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "average":
         from fairmultimodal_tpu.pipelines import (
@@ -408,7 +431,7 @@ def run_pipeline(args) -> int:
         _apply_single_task(cfg, args)
         out = run_average_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
                                            verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "eddi":
         from fairmultimodal_tpu.pipelines import (
@@ -426,7 +449,7 @@ def run_pipeline(args) -> int:
         _apply_single_task(cfg, args)
         out = run_eddi_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
                                         verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "legacy-eddi":
         from fairmultimodal_tpu.pipelines import (
@@ -442,7 +465,7 @@ def run_pipeline(args) -> int:
             cfg.demo_layers, cfg.demo_heads = 1, 2
         out = run_legacy_eddi_experiment(s, u, cfg, text_encoder=text_encoder,
                                          verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     if name == "sigmoid":
         from fairmultimodal_tpu.pipelines import (
@@ -457,7 +480,7 @@ def run_pipeline(args) -> int:
         _apply_single_task(cfg, args)
         out = run_sigmoid_fusion_experiment(s, u, cfg, text_encoder=text_encoder,
                                            verbose=verbose)
-        return _report_task_focus(out, args)
+        return _finish_run(out, args)
 
     raise SystemExit(f"unknown pipeline {name!r}")
 
