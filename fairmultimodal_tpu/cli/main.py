@@ -107,6 +107,12 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
                         "already holds checkpoints (bit-identical resume: "
                         "params, opt state, dropout RNG stream, tracked "
                         "histories, loader shuffle phase)")
+    p.add_argument("--text_cache", default=None, metavar="DIR",
+                   help="persistent text-embedding cache: the frozen-encoder "
+                        "precompute (the reference's hottest loop, redone "
+                        "every run) is stored content-addressed by encoder "
+                        "weights + note text + settings and reused across "
+                        "runs/pipelines (sets FMTPU_TEXT_CACHE)")
     p.add_argument("--require_hf_weights", action="store_true",
                    help="fail instead of random-init fallback when the "
                         "pretrained Bio_ClinicalBERT cannot be loaded "
@@ -222,6 +228,10 @@ def _build_mesh(args):
 def run_pipeline(args) -> int:
     verbose = not args.quiet
     name = args.pipeline
+    if getattr(args, "text_cache", None):
+        # encode_note_chunks reads this env default, so every pipeline's
+        # text precompute (and any nested API call) sees the cache.
+        os.environ["FMTPU_TEXT_CACHE"] = args.text_cache
     if getattr(args, "single_task", False) and name not in _SINGLE_TASK_PIPELINES:
         raise SystemExit(f"--single_task is not supported by {name!r} "
                          f"(supported: {', '.join(_SINGLE_TASK_PIPELINES)})")

@@ -16,6 +16,7 @@ but every shape/dtype contract holds, which is what the tests pin down.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -30,6 +31,37 @@ from fairmultimodal_tpu.models.bert import (
 )
 
 __all__ = ["TextEncoder", "encode_note_chunks", "HashingTokenizer"]
+
+
+def _text_cache_key(encoder: "TextEncoder", note_chunks, max_length: int,
+                    aggregation: str, buckets: Sequence[int]) -> str:
+    """Content-addressed key: encoder identity x cohort notes x settings.
+
+    Buckets are part of the key: bucketed padding is mask-invariant in
+    exact arithmetic but shifts matmul tiling by last-ulp amounts, and the
+    cache must stay bit-stable per configuration."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(encoder.cache_fingerprint().encode())
+    h.update(f"|L{max_length}|{aggregation}|n{len(note_chunks)}"
+             f"|b{','.join(map(str, buckets))}".encode())
+    for chunks in note_chunks:
+        h.update(b"\x00")                      # patient boundary
+        for c in chunks:
+            if isinstance(c, str):
+                h.update(c.encode("utf-8", "replace"))
+                h.update(b"\x01")
+    return h.hexdigest()
+
+
+def _text_cache_store(cache_path: Optional[str], embeddings: np.ndarray
+                      ) -> None:
+    if cache_path is None:
+        return
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    tmp = cache_path + ".tmp"
+    np.savez_compressed(tmp, embeddings=embeddings)
+    # np.savez appends .npz to paths without the suffix.
+    os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", cache_path)
 
 
 class HashingTokenizer:
@@ -117,6 +149,28 @@ class TextEncoder:
     #: (set by :meth:`from_pretrained`; manual constructions leave it False).
     is_fallback: bool = False
 
+    #: Stable identity string for the embedding cache (set by
+    #: :meth:`from_pretrained`); manual constructions leave it None and the
+    #: cache falls back to hashing a sample of the weights.
+    fingerprint: Optional[str] = None
+
+    def cache_fingerprint(self) -> str:
+        """Identity of (weights, geometry) for keying cached embeddings."""
+        if self.fingerprint is not None:
+            return self.fingerprint
+        # Manually constructed encoder: digest a deterministic sample of the
+        # params.  Slice BEFORE device_get so each leaf costs one small
+        # transfer (a full-tree pull is ~33 ms/leaf over the axon tunnel).
+        leaves = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        h = hashlib.blake2b(digest_size=16)
+        for path, leaf in sorted(leaves, key=lambda kv: str(kv[0]))[:4]:
+            h.update(str(path).encode())
+            h.update(str(jnp.shape(leaf)).encode())
+            sample = np.asarray(jax.device_get(jnp.ravel(leaf)[:256]),
+                                np.float32)
+            h.update(sample.tobytes())
+        return f"params:{h.hexdigest()}|h{self.config.hidden_size}"
+
     @classmethod
     def from_pretrained(
         cls,
@@ -175,6 +229,11 @@ class TextEncoder:
             fallback = True
         enc = cls(config, params, tok, dtype=dtype, mesh=mesh)
         enc.is_fallback = fallback
+        enc.fingerprint = (
+            f"{model_name}|{f'fallback:{seed}' if fallback else 'hf'}"
+            f"|{np.dtype(jnp.dtype(dtype)).name}"
+            f"|h{config.hidden_size}L{config.num_hidden_layers}"
+            f"v{config.vocab_size}")
         return enc
 
     def encode_ids(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
@@ -189,6 +248,8 @@ def encode_note_chunks(
     batch_size: int = 32,
     aggregation: str = "mean",
     progress: Optional[Callable[[int, int], None]] = None,
+    cache_dir: Optional[str] = None,
+    buckets: Optional[Sequence[int]] = None,
 ) -> np.ndarray:
     """Per-patient aggregated text embeddings, batched.
 
@@ -204,9 +265,58 @@ def encode_note_chunks(
         03/04/06/07/08 — pass accordingly).
       batch_size: chunk-level device batch size (pad to fixed shape).
       aggregation: "mean" or "max" over a patient's chunks.
+      cache_dir: persistent embedding cache (defaults to the
+        ``FMTPU_TEXT_CACHE`` env var / ``--text_cache`` CLI flag).  The
+        encoder is frozen, so embeddings are a pure function of (weights,
+        notes, settings): results are stored content-addressed by a
+        blake2b key over the encoder fingerprint, every chunk string, and
+        (max_length, aggregation), and reused across runs — at reference
+        scale the precompute is ~377 s of a ~1100 s FAME run and the
+        reference redoes it every invocation.  Batch size and mesh layout
+        are excluded from the key: chunks are encoded row-independently in
+        fixed shapes, so they do not change the result (beyond last-ulp
+        matmul tiling reassociation under a mesh).
+      buckets: sequence-length buckets for the padded encode.  Default
+        (None) auto-selects {64, 128, 256, 512} clipped to ``max_length``:
+        each chunk is routed to the smallest bucket holding its token
+        count and encoded at that padded length — a small fixed set of
+        compiled shapes instead of one.  CLS embeddings are mask-invariant,
+        so bucketing does not change results beyond last-ulp matmul
+        tiling; what it removes is pad compute (attention is quadratic in
+        padded length — a 40-token note padded to 512 pays ~64x the
+        attention FLOPs it needs; real MIMIC cohorts average one short
+        final chunk per patient, synthetic cohorts are nearly all-pad).
+        ``FMTPU_TEXT_BUCKETS`` overrides: ``0`` disables (single
+        ``max_length`` shape), or a comma list like ``128,512``.
 
     Returns [n_patients, hidden] float32.
     """
+    if buckets is None:
+        env = os.environ.get("FMTPU_TEXT_BUCKETS", "").strip()
+        if env in ("0", "off"):
+            buckets = [max_length]
+        elif env:
+            buckets = [int(b) for b in env.split(",")]
+        else:
+            buckets = [b for b in (64, 128, 256) if b < max_length]
+            buckets.append(max_length)
+    buckets = sorted({min(int(b), max_length) for b in buckets} | {max_length})
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("FMTPU_TEXT_CACHE") or None
+    cache_path = None
+    if cache_dir:
+        key = _text_cache_key(encoder, note_chunks, max_length, aggregation,
+                              buckets)
+        cache_path = os.path.join(cache_dir, f"text_emb_{key}.npz")
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                cached = z["embeddings"]
+            if cached.shape[0] == len(note_chunks):
+                if progress is not None:
+                    progress(cached.shape[0], cached.shape[0])
+                return np.asarray(cached, np.float32)
+
     n_patients = len(note_chunks)
     hidden = encoder.config.hidden_size
     dp = getattr(encoder, "_dp_size", 1)
@@ -224,6 +334,7 @@ def encode_note_chunks(
                 owners.append(pid)
     out = np.zeros((n_patients, hidden), np.float32)
     if not flat_texts:
+        _text_cache_store(cache_path, out)
         return out
 
     n = len(flat_texts)
@@ -240,29 +351,38 @@ def encode_note_chunks(
     # (676 chunks/s at 300 queued) — window 8 is the measured sweet spot.
     window = 8
     embs = np.zeros((n, hidden), np.float32)
-    pending: List[Tuple[int, int, jax.Array]] = []
+    pending: List[Tuple[np.ndarray, jax.Array]] = []
+    done = 0
 
     def drain_one():
-        start, stop, cls = pending.pop(0)
-        embs[start:stop] = np.asarray(cls)[: stop - start]
+        nonlocal done
+        sel, cls = pending.pop(0)
+        embs[sel] = np.asarray(cls)[: len(sel)]
         # Progress tracks COMPLETED work (drained batches), not dispatches —
         # a dispatch-time callback would report 100% with up to `window`
         # batches still pending on device.
+        done += len(sel)
         if progress is not None:
-            progress(stop, n)
+            progress(done, n)
 
-    for start in range(0, n, batch_size):
-        stop = min(start + batch_size, n)
-        bs = stop - start
-        bi = ids[start:stop]
-        bm = mask[start:stop]
-        if bs < batch_size:  # keep one compiled shape
-            bi = np.pad(bi, ((0, batch_size - bs), (0, 0)))
-            bm = np.pad(bm, ((0, batch_size - bs), (0, 0)))
-        pending.append(
-            (start, stop, encoder.encode_ids(jnp.asarray(bi), jnp.asarray(bm))))
-        if len(pending) >= window:
-            drain_one()
+    # Route each chunk to the smallest bucket holding its token count; one
+    # compiled [batch_size, bucket] shape per non-empty bucket.
+    lengths = mask.sum(axis=1)
+    bucket_of = np.searchsorted(np.asarray(buckets), lengths)
+    for b_i, b_len in enumerate(buckets):
+        idxs = np.nonzero(bucket_of == b_i)[0]
+        for start in range(0, len(idxs), batch_size):
+            sel = idxs[start:start + batch_size]
+            bi = ids[sel, :b_len]
+            bm = mask[sel, :b_len]
+            if len(sel) < batch_size:  # keep one compiled shape per bucket
+                pad = batch_size - len(sel)
+                bi = np.pad(bi, ((0, pad), (0, 0)))
+                bm = np.pad(bm, ((0, pad), (0, 0)))
+            pending.append(
+                (sel, encoder.encode_ids(jnp.asarray(bi), jnp.asarray(bm))))
+            if len(pending) >= window:
+                drain_one()
     while pending:
         drain_one()
 
@@ -283,4 +403,5 @@ def encode_note_chunks(
         out[has] = tmp[has]
     else:
         raise ValueError(f"unknown aggregation {aggregation!r}")
+    _text_cache_store(cache_path, out)
     return out
