@@ -81,10 +81,21 @@ class HashingTokenizer:
         self.cls_token_id = 101 if vocab_size > 1000 else 1
         self.sep_token_id = 102 if vocab_size > 1000 else 2
         self._base = 1000 if vocab_size > 1000 else 3
+        # Word-id memo: cohorts repeat a bounded vocabulary millions of
+        # times, and the per-word blake2s dominates host tokenization time
+        # in the bucketed encode (the device work is ~5 s at reference
+        # scale; see CLAUDE.md text-encode log).
+        self._memo: dict = {}
 
     def _tok(self, word: str) -> int:
-        h = int.from_bytes(hashlib.blake2s(word.encode(), digest_size=4).digest(), "little")
-        return self._base + (h % (self.vocab_size - self._base))
+        t = self._memo.get(word)
+        if t is None:
+            h = int.from_bytes(
+                hashlib.blake2s(word.encode(), digest_size=4).digest(),
+                "little")
+            t = self._base + (h % (self.vocab_size - self._base))
+            self._memo[word] = t
+        return t
 
     def encode(self, text: str, max_length: int = 512) -> Tuple[np.ndarray, np.ndarray]:
         ids = [self.cls_token_id] + [self._tok(w) for w in text.split()][: max_length - 2]
@@ -93,6 +104,19 @@ class HashingTokenizer:
         pad = max_length - len(ids)
         return (np.array(ids + [0] * pad, np.int32),
                 np.array(attn + [0] * pad, np.int32))
+
+    def encode_batch(self, texts: Sequence[str], max_length: int = 512
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, text in enumerate(texts):
+            row = [self._tok(w) for w in text.split()][: max_length - 2]
+            k = len(row) + 2
+            ids[i, 0] = self.cls_token_id
+            ids[i, 1:k - 1] = row
+            ids[i, k - 1] = self.sep_token_id
+            mask[i, :k] = 1
+        return ids, mask
 
 
 class _HFTokenizerAdapter:
@@ -104,6 +128,15 @@ class _HFTokenizerAdapter:
                      truncation=True, return_tensors="np")
         return (out["input_ids"][0].astype(np.int32),
                 out["attention_mask"][0].astype(np.int32))
+
+    def encode_batch(self, texts: Sequence[str], max_length: int = 512):
+        # One call into the (Rust-backed) fast tokenizer for the whole
+        # cohort instead of a Python call per chunk.
+        out = self.t(list(texts), max_length=max_length,
+                     padding="max_length", truncation=True,
+                     return_tensors="np")
+        return (out["input_ids"].astype(np.int32),
+                out["attention_mask"].astype(np.int32))
 
 
 class TextEncoder:
@@ -338,10 +371,17 @@ def encode_note_chunks(
         return out
 
     n = len(flat_texts)
-    ids = np.zeros((n, max_length), np.int32)
-    mask = np.zeros((n, max_length), np.int32)
-    for i, text in enumerate(flat_texts):
-        ids[i], mask[i] = encoder.tokenizer.encode(text, max_length=max_length)
+    if hasattr(encoder.tokenizer, "encode_batch"):
+        ids, mask = encoder.tokenizer.encode_batch(flat_texts,
+                                                   max_length=max_length)
+        ids = np.asarray(ids, np.int32)
+        mask = np.asarray(mask, np.int32)
+    else:
+        ids = np.zeros((n, max_length), np.int32)
+        mask = np.zeros((n, max_length), np.int32)
+        for i, text in enumerate(flat_texts):
+            ids[i], mask[i] = encoder.tokenizer.encode(
+                text, max_length=max_length)
 
     # Keep a bounded window of encode batches in flight: dispatch is async,
     # so the device pipeline stays full while the host pulls results a few

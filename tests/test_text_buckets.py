@@ -10,7 +10,11 @@ import numpy as np
 import pytest
 
 from fairmultimodal_tpu.models.bert import BertConfig
-from fairmultimodal_tpu.models.text import TextEncoder, encode_note_chunks
+from fairmultimodal_tpu.models.text import (
+    HashingTokenizer,
+    TextEncoder,
+    encode_note_chunks,
+)
 
 _CFG = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
                   num_attention_heads=2, intermediate_size=64,
@@ -68,6 +72,17 @@ def test_auto_buckets_and_env_off(encoder, monkeypatch):
     monkeypatch.setenv("FMTPU_TEXT_BUCKETS", "8,16,32")
     env = encode_note_chunks(encoder, chunks, max_length=32, batch_size=3)
     np.testing.assert_allclose(env, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_hashing_encode_batch_matches_per_text():
+    tok = HashingTokenizer(28996)
+    texts = ["alpha beta gamma", "x", " ".join(f"w{i}" for i in range(40)),
+             "alpha beta gamma"]          # repeat exercises the word memo
+    bids, bmask = tok.encode_batch(texts, max_length=16)
+    for i, t in enumerate(texts):
+        ids, mask = tok.encode(t, max_length=16)
+        np.testing.assert_array_equal(bids[i], ids)
+        np.testing.assert_array_equal(bmask[i], mask)
 
 
 def test_buckets_clip_to_max_length(encoder):
