@@ -406,17 +406,24 @@ def encode_note_chunks(
             progress(done, n)
 
     # Route each chunk to the smallest bucket holding its token count; one
-    # compiled [batch_size, bucket] shape per non-empty bucket.
+    # compiled [rows_b, bucket] shape per non-empty bucket.  Rows per batch
+    # scale inversely with bucket length (constant token budget): shorter
+    # buckets take proportionally more rows per dispatch, so the dispatch
+    # count — the bottleneck once pad FLOPs are gone (~33 ms/round-trip on
+    # the axon tunnel vs ~10 ms device time at S=64) — drops by the same
+    # factor as the sequence length.  Capped at 8x so activation memory
+    # stays bounded for tiny test bucket sets.
     lengths = mask.sum(axis=1)
     bucket_of = np.searchsorted(np.asarray(buckets), lengths)
     for b_i, b_len in enumerate(buckets):
         idxs = np.nonzero(bucket_of == b_i)[0]
-        for start in range(0, len(idxs), batch_size):
-            sel = idxs[start:start + batch_size]
+        rows_b = batch_size * min(8, max(1, buckets[-1] // b_len))
+        for start in range(0, len(idxs), rows_b):
+            sel = idxs[start:start + rows_b]
             bi = ids[sel, :b_len]
             bm = mask[sel, :b_len]
-            if len(sel) < batch_size:  # keep one compiled shape per bucket
-                pad = batch_size - len(sel)
+            if len(sel) < rows_b:  # keep one compiled shape per bucket
+                pad = rows_b - len(sel)
                 bi = np.pad(bi, ((0, pad), (0, 0)))
                 bm = np.pad(bm, ((0, pad), (0, 0)))
             pending.append(
