@@ -274,12 +274,20 @@ class BertEncoderModel(nn.Module):
 
 # --- HF weight conversion -----------------------------------------------------
 
-def load_hf_bert_params(model_name_or_path: str, config: Optional[BertConfig] = None) -> Dict:
+def load_hf_bert_params(model_name_or_path: str,
+                        config: Optional[BertConfig] = None,
+                        return_config: bool = False):
     """Convert a HF torch BertModel checkpoint into this module's param tree.
 
     Works offline from a local directory or the HF cache; raises a clear
     error when weights are unavailable (no network egress in CI) — callers
     fall back to random init for tests.
+
+    With ``return_config=True`` returns ``(params, config)`` where the
+    config is derived from the loaded checkpoint's ``hf.config`` — callers
+    must build their module from it rather than assuming bert-base geometry
+    (a hardcoded ``bio_clinical_bert_config()`` breaks any non-bert-base
+    checkpoint with a module/params shape mismatch).
     """
     import numpy as np
 
@@ -307,6 +315,9 @@ def load_hf_bert_params(model_name_or_path: str, config: Optional[BertConfig] = 
         intermediate_size=hf.config.intermediate_size,
         max_position_embeddings=hf.config.max_position_embeddings,
         type_vocab_size=hf.config.type_vocab_size,
+        hidden_dropout_prob=hf.config.hidden_dropout_prob,
+        attention_probs_dropout_prob=hf.config.attention_probs_dropout_prob,
+        layer_norm_eps=hf.config.layer_norm_eps,
     )
 
     def dense(prefix):
@@ -339,4 +350,6 @@ def load_hf_bert_params(model_name_or_path: str, config: Optional[BertConfig] = 
         }
     if "pooler.dense.weight" in sd:
         params["pooler"] = dense("pooler.dense")
+    if return_config:
+        return params, cfg
     return params

@@ -58,10 +58,40 @@ def _text_cache_store(cache_path: Optional[str], embeddings: np.ndarray
     if cache_path is None:
         return
     os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-    tmp = cache_path + ".tmp"
-    np.savez_compressed(tmp, embeddings=embeddings)
-    # np.savez appends .npz to paths without the suffix.
-    os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", cache_path)
+    # Unique tmp name: concurrent processes sharing a cache dir must not
+    # interleave writes into one tmp file (os.replace of a torn file would
+    # poison the cache); failed writes are removed instead of left behind.
+    tmp = f"{cache_path}.tmp.{os.getpid()}"
+    try:
+        np.savez_compressed(tmp, embeddings=embeddings)
+        # np.savez appends .npz to paths without the suffix.
+        src = tmp if os.path.exists(tmp) else tmp + ".npz"
+        os.replace(src, cache_path)
+    except BaseException:
+        for p in (tmp, tmp + ".npz"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        raise
+
+
+def _params_sample_digest(params) -> str:
+    """Digest of a deterministic sample of the param tree.
+
+    Slices BEFORE device_get so each leaf costs one small transfer (a full
+    tree pull is ~33 ms/leaf over the axon tunnel).  Four leaves sorted by
+    path cover the embedding tables + first-layer weights — any retrained /
+    revised checkpoint differs there."""
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    h = hashlib.blake2b(digest_size=16)
+    for path, leaf in sorted(leaves, key=lambda kv: str(kv[0]))[:4]:
+        h.update(str(path).encode())
+        h.update(str(jnp.shape(leaf)).encode())
+        sample = np.asarray(jax.device_get(jnp.ravel(leaf)[:256]),
+                            np.float32)
+        h.update(sample.tobytes())
+    return h.hexdigest()
 
 
 class HashingTokenizer:
@@ -192,17 +222,9 @@ class TextEncoder:
         if self.fingerprint is not None:
             return self.fingerprint
         # Manually constructed encoder: digest a deterministic sample of the
-        # params.  Slice BEFORE device_get so each leaf costs one small
-        # transfer (a full-tree pull is ~33 ms/leaf over the axon tunnel).
-        leaves = jax.tree_util.tree_flatten_with_path(self.params)[0]
-        h = hashlib.blake2b(digest_size=16)
-        for path, leaf in sorted(leaves, key=lambda kv: str(kv[0]))[:4]:
-            h.update(str(path).encode())
-            h.update(str(jnp.shape(leaf)).encode())
-            sample = np.asarray(jax.device_get(jnp.ravel(leaf)[:256]),
-                                np.float32)
-            h.update(sample.tobytes())
-        return f"params:{h.hexdigest()}|h{self.config.hidden_size}"
+        # params.
+        return (f"params:{_params_sample_digest(self.params)}"
+                f"|h{self.config.hidden_size}")
 
     @classmethod
     def from_pretrained(
@@ -226,12 +248,15 @@ class TextEncoder:
         breaks AUROC/EDDI parity).
         """
         try:
-            params = load_hf_bert_params(model_name)
+            # Config is DERIVED from the loaded checkpoint (geometry, LN eps,
+            # dropout) — a hardcoded bio_clinical_bert_config() would shape-
+            # mismatch any non-bert-base checkpoint loaded under this path.
+            params, config = load_hf_bert_params(model_name,
+                                                 return_config=True)
             import transformers
 
             tok = _HFTokenizerAdapter(
                 transformers.AutoTokenizer.from_pretrained(model_name))
-            config = bio_clinical_bert_config()
             fallback = False
         except Exception as e:
             if require_weights:
@@ -262,8 +287,15 @@ class TextEncoder:
             fallback = True
         enc = cls(config, params, tok, dtype=dtype, mesh=mesh)
         enc.is_fallback = fallback
+        # HF path: content-address the fingerprint with a weight-sample
+        # digest — "{model_name}|hf" alone would silently serve stale cached
+        # embeddings if the checkpoint under the same name changed (revision
+        # update, refreshed local dir).  The fallback path is already fully
+        # determined by (seed, geometry).
+        weight_id = (f"fallback:{seed}" if fallback
+                     else f"hf:{_params_sample_digest(params)}")
         enc.fingerprint = (
-            f"{model_name}|{f'fallback:{seed}' if fallback else 'hf'}"
+            f"{model_name}|{weight_id}"
             f"|{np.dtype(jnp.dtype(dtype)).name}"
             f"|h{config.hidden_size}L{config.num_hidden_layers}"
             f"v{config.vocab_size}")

@@ -31,12 +31,13 @@ __all__ = ["TensorBoardLogger", "log_run"]
 _MODALITIES = ("demo", "lab", "text")
 
 
-def _make_writer(log_dir: str):
+def _make_writer(log_dir: str, verbose: bool = True):
     try:
         from torch.utils.tensorboard import SummaryWriter
     except Exception as exc:  # pragma: no cover - environment-dependent
-        print(f"[tensorboard] torch.utils.tensorboard unavailable ({exc}); "
-              f"--tensorboard is a no-op for this run.")
+        if verbose:
+            print(f"[tensorboard] torch.utils.tensorboard unavailable "
+                  f"({exc}); --tensorboard is a no-op for this run.")
         return None
     os.makedirs(log_dir, exist_ok=True)
     return SummaryWriter(log_dir=log_dir)
@@ -68,7 +69,7 @@ class TensorBoardLogger:
 
     def __init__(self, log_dir: str, verbose: bool = True):
         self.log_dir = log_dir
-        self.writer = _make_writer(log_dir)
+        self.writer = _make_writer(log_dir, verbose=verbose)
         if self.writer is not None and verbose:
             print(f"TensorBoard events -> {log_dir}")
 

@@ -47,8 +47,12 @@ namespace {
 
 inline bool is_ws(unsigned char c) {
   // Python str.split()/str.strip() whitespace, restricted to ASCII:
-  // space, \t, \n, \r, \v, \f.
-  return c == ' ' || (c >= '\t' && c <= '\r');
+  // space, \t, \n, \v, \f, \r, plus the C1 separators \x1c-\x1f (FS, GS,
+  // RS, US) — Unicode White_Space includes them, so Python treats them as
+  // whitespace while they still pass str.isascii(); omitting them would
+  // silently diverge chunk boundaries from the pandas oracle.
+  return c == ' ' || (c >= '\t' && c <= '\r') ||
+         (c >= '\x1c' && c <= '\x1f');
 }
 
 inline bool is_digit(unsigned char c) { return c >= '0' && c <= '9'; }

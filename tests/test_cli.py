@@ -88,16 +88,26 @@ def test_cli_fame_under_dp_mesh(tmp_path):
 
 
 @pytest.mark.slow
-def test_cli_fame_checkpoint_dir_resume(tmp_path):
+def test_cli_fame_checkpoint_dir_resume(tmp_path, capsys):
     """--checkpoint_dir saves per-epoch orbax checkpoints and a second run
     against the same directory auto-resumes (fit() restores the latest step
     instead of starting over — mechanics pinned in test_checkpoint.py)."""
     ckpt = tmp_path / "ckpts"
     args = ["fame", "--synthetic", "64", "--tiny", "--epochs", "2",
-            "--bsz", "16", "--out_dir", str(tmp_path), "--quiet",
+            "--bsz", "16", "--out_dir", str(tmp_path),
             "--checkpoint_dir", str(ckpt)]
-    assert main(args) == 0
-    steps = os.listdir(ckpt)
+    assert main(args + ["--quiet"]) == 0
+    steps = sorted(os.listdir(ckpt))
     assert steps, "no checkpoints written"
-    # Second invocation resumes from the latest epoch rather than retraining.
+    # Second invocation resumes from the latest epoch rather than
+    # retraining: the restore message is printed and no checkpoint dir is
+    # rewritten (a silent from-scratch retrain would re-save every step —
+    # rc==0 alone cannot distinguish the two).
+    mtimes = {s: os.stat(os.path.join(ckpt, s)).st_mtime_ns for s in steps}
+    capsys.readouterr()
     assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "Resumed from checkpoint at epoch 2" in out, out[-2000:]
+    assert sorted(os.listdir(ckpt)) == steps
+    assert {s: os.stat(os.path.join(ckpt, s)).st_mtime_ns
+            for s in steps} == mtimes

@@ -247,7 +247,10 @@ def test_fastnotes_handcrafted_cases(notes_ok):
 def test_fastnotes_fuzz_parity(notes_ok):
     """Random note-ish documents through both paths, byte-identical."""
     rng = np.random.default_rng(20260818)
-    alphabet = list("abcdefghij XYZ.0123456789[]-_=\t\n\r:") + [
+    # \x1c-\x1f: ASCII C1 separators that Python str.split()/strip() treat
+    # as whitespace — pinned here because the native is_ws must match.
+    alphabet = list("abcdefghij XYZ.0123456789[]-_=\t\n\r:\x0b\x0c"
+                    "\x1c\x1d\x1e\x1f") + [
         "dr.", "m.d.", "admission date:", "discharge date:", "--", "__",
         "==", "[**2112-1-2**]", " 42. ", "é"]
     docs = []

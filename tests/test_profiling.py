@@ -17,13 +17,19 @@ from fairmultimodal_tpu.utils.profiling import (
 )
 
 
+@pytest.mark.slow
 def test_trace_capture_and_hlo_self_times(tmp_path):
     """Capture + parse round-trip in a clean subprocess.
 
     JAX_PLATFORMS must be cpu BEFORE the interpreter starts: the axon
     sitecustomize (PYTHONPATH) hooks the profiler at import time when the
     platform is axon, and an in-process override leaves the captured xplane
-    without device-op events (hlo_stats comes back empty)."""
+    without device-op events (hlo_stats comes back empty).
+
+    Slow-marked with a 900 s subprocess budget: the child re-imports jax +
+    xprof and recompiles from cold, which takes ~170 s alone on the single
+    CPU core and multiples of that when the full suite's compiles contend
+    for it (a 300 s budget flaked under contention in round 3)."""
     import os
     import subprocess
     import sys
@@ -47,7 +53,7 @@ assert abs(sum(by_category.values()) - sum(by_op.values())) < 1e-6
 print("TRACE_OK", sorted(by_category))
 """
     out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=300)
+                         capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "TRACE_OK" in out.stdout
 
