@@ -49,8 +49,13 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
         p.add_argument("pipeline", choices=PIPELINES)
     else:
         p.set_defaults(pipeline=default_pipeline)
-    p.add_argument("--task", choices=["mortality", "los", "ventilation", "all"],
-                   default="all")
+    p.add_argument("--task",
+                   choices=["mortality", "los", "ventilation", "readmission",
+                            "all"],
+                   default="all",
+                   help="evaluation focus, or the label for --single_task; "
+                        "'readmission' is single-task-only (the "
+                        "Uni_label_run text-only regime, Readmit_Biobert_2)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--bsz", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -160,7 +165,8 @@ _TINY = dict(hidden_size=64, text_batch_size=16)
 
 
 _TASK_KEY = {"mortality": "mortality", "los": "los",
-             "ventilation": "mechanical_ventilation"}
+             "ventilation": "mechanical_ventilation",
+             "readmission": "readmission"}
 
 
 _SINGLE_TASK_PIPELINES = ("behrt", "bioclinicalbert", "average", "sigmoid",
@@ -173,8 +179,14 @@ def _apply_single_task(cfg, args):
     Ventilation/*) instead of focusing the 3-task report."""
     if getattr(args, "single_task", False):
         if args.task == "all":
-            raise SystemExit(
-                "--single_task requires --task mortality|los|ventilation")
+            raise SystemExit("--single_task requires --task "
+                             "mortality|los|ventilation|readmission")
+        if args.task == "readmission" and args.pipeline != "bioclinicalbert":
+            # The only readmission-only run in the reference is the
+            # Uni_label_run text model (Readmit_Biobert_2(1).py).
+            raise SystemExit("--task readmission is the Uni_label_run "
+                             "text-only regime; use the bioclinicalbert "
+                             "pipeline")
         cfg.task = _TASK_KEY[args.task]
     return cfg
 
@@ -235,6 +247,9 @@ def run_pipeline(args) -> int:
     if getattr(args, "single_task", False) and name not in _SINGLE_TASK_PIPELINES:
         raise SystemExit(f"--single_task is not supported by {name!r} "
                          f"(supported: {', '.join(_SINGLE_TASK_PIPELINES)})")
+    if args.task == "readmission" and not getattr(args, "single_task", False):
+        raise SystemExit("--task readmission requires --single_task (the "
+                         "3-headed models have no readmission head)")
     if getattr(args, "mesh", None) and name not in ("fame", "fpm"):
         raise SystemExit("--mesh is supported for fame/fpm only")
 

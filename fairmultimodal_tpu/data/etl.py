@@ -410,7 +410,53 @@ def aggregate_feature_table(
     return agg
 
 
-def build_structured(mimic_dir: str, out_dir: str, los_threshold_hours: float = 168.0) -> pd.DataFrame:
+def compute_readmission_labels(admissions: pd.DataFrame,
+                               mode: str = "reference") -> pd.DataFrame:
+    """Per-admission 30-day readmission label.
+
+    ``mode="reference"`` is the formula the reference actually computes
+    (Code/1_preprocessing_structured.py:27-28):
+    ``groupby(subject)['ADMITTIME'].diff().dt.days <= 30`` — the gap between
+    CONSECUTIVE ADMISSION TIMES, flagged on the **later** admission (a stay
+    is positive when it began within 30 days of the previous admission;
+    first admissions are NaT-diff -> 0).  Note ``.dt.days`` floors, exactly
+    like the reference.
+
+    ``mode="discharge_gap"`` is the rounds-1-3 variant kept as a documented
+    alternative: next ADMITTIME within 30 days of THIS DISCHTIME, flagged on
+    the **earlier** admission (the clinically conventional definition).
+
+    Returns ``[subject_id, hadm_id, readmission_within_30d]``.
+    """
+    adm_sorted = admissions.sort_values(["subject_id", "ADMITTIME"]).copy()
+    if mode == "reference":
+        gap_days = adm_sorted.groupby("subject_id")["ADMITTIME"].diff().dt.days
+        adm_sorted["readmission_within_30d"] = (gap_days <= 30).astype(int)
+    elif mode == "discharge_gap":
+        adm_sorted["next_admit"] = (
+            adm_sorted.groupby("subject_id")["ADMITTIME"].shift(-1))
+        gap_days = ((adm_sorted["next_admit"] - adm_sorted["DISCHTIME"])
+                    .dt.total_seconds() / 86400.0)
+        adm_sorted["readmission_within_30d"] = (
+            (gap_days >= 0) & (gap_days <= 30)).astype(int)
+    else:
+        raise ValueError(f"unknown readmission mode {mode!r}; "
+                         "expected 'reference' or 'discharge_gap'")
+    return adm_sorted[["subject_id", "hadm_id", "readmission_within_30d"]]
+
+
+def compute_mortality_30d_post_discharge(df: pd.DataFrame) -> pd.Series:
+    """Earliest-era mortality label (Code/1_preprocessing_structured.py:24-26):
+    death within 30 days of DISCHARGE, ``(DEATHTIME − DISCHTIME).dt.days <=
+    30`` — NaT-safe (no DEATHTIME -> NaN -> False -> 0) and inclusive of
+    in-hospital deaths (negative day gaps).  Distinct from the Final era's
+    ``DEATHTIME.notnull()`` on any data where DEATHTIME can fall more than
+    30 days after discharge."""
+    return ((df["DEATHTIME"] - df["DISCHTIME"]).dt.days <= 30).astype(int)
+
+
+def build_structured(mimic_dir: str, out_dir: str, los_threshold_hours: float = 168.0,
+                     readmission_mode: str = "reference") -> pd.DataFrame:
     """Base cohort + labels + lab bins + feature set C (00_data.py:259-392)."""
     admissions = _read(mimic_dir, "ADMISSIONS.csv.gz",
                        usecols=["SUBJECT_ID", "HADM_ID", "ADMITTIME", "DISCHTIME",
@@ -448,14 +494,10 @@ def build_structured(mimic_dir: str, out_dir: str, los_threshold_hours: float = 
     df["los_binary"] = (df["icu_los"] > los_threshold_hours).astype(int)
 
     # Legacy-era labels kept in the inventory (Code/1_preprocessing_structured
-    # .py:24-28; used by the FinalCode mortality+readmission generation):
-    # readmission = next admission within 30 days of this discharge.
-    adm_sorted = admissions.sort_values(["subject_id", "ADMITTIME"]).copy()
-    adm_sorted["next_admit"] = adm_sorted.groupby("subject_id")["ADMITTIME"].shift(-1)
-    gap_days = (adm_sorted["next_admit"] - adm_sorted["DISCHTIME"]).dt.total_seconds() / 86400.0
-    adm_sorted["readmission_within_30d"] = ((gap_days >= 0) & (gap_days <= 30)).astype(int)
-    df = pd.merge(df, adm_sorted[["subject_id", "hadm_id", "readmission_within_30d"]],
-                  on=["subject_id", "hadm_id"], how="left")
+    # .py:24-28; used by the earliest mortality+readmission generations).
+    df["mortality_30d_post_discharge"] = compute_mortality_30d_post_discharge(df)
+    readm = compute_readmission_labels(admissions, mode=readmission_mode)
+    df = pd.merge(df, readm, on=["subject_id", "hadm_id"], how="left")
     df["readmission_within_30d"] = df["readmission_within_30d"].fillna(0).astype(int)
 
     vent = compute_ventilation_flags(mimic_dir)
@@ -586,11 +628,13 @@ def build_unstructured(mimic_dir: str, out_dir: str,
     return out
 
 
-def run_etl(mimic_dir: str, out_dir: str, los_threshold_hours: float = 168.0) -> dict:
+def run_etl(mimic_dir: str, out_dir: str, los_threshold_hours: float = 168.0,
+            readmission_mode: str = "reference") -> dict:
     """Full pipeline; returns summary stats (the reference's print block,
     00_data.py:507-545, as a dict)."""
     os.makedirs(out_dir, exist_ok=True)
-    structured = build_structured(mimic_dir, out_dir, los_threshold_hours)
+    structured = build_structured(mimic_dir, out_dir, los_threshold_hours,
+                                  readmission_mode=readmission_mode)
     unstructured = build_unstructured(mimic_dir, out_dir)
 
     common = set(structured["subject_id"]).intersection(set(unstructured["subject_id"]))

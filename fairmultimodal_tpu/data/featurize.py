@@ -30,6 +30,7 @@ EXCLUDE_COLS = {
     "subject_id", "ROW_ID", "hadm_id", "ICUSTAY_ID",
     "short_term_mortality", "los_binary", "mechanical_ventilation",
     "readmission_within_30d", "readmission_within_30_days",
+    "mortality_30d_post_discharge",
     "age", "GENDER", "GENDERS", "ETHNICITY", "INSURANCE",
 }
 

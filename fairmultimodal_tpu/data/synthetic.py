@@ -198,13 +198,42 @@ def write_raw_mimic(out_dir: str, n_subjects: int = 40, seed: int = 0) -> None:
     dob = [t - pd.Timedelta(days=int(365.25 * a))
            for t, a in zip(intime, rng.integers(10, 95, n_subjects))]
     death = [t + pd.Timedelta(days=2) if rng.random() < 0.2 else pd.NaT for t in outtime]
+    # Push a deterministic subset of deaths past the 30-day window so the
+    # earliest-era mortality label (death <= 30 d post discharge,
+    # Code/1_preprocessing_structured.py:24-26) diverges from the Final
+    # era's DEATHTIME-non-null on this fixture.
+    death_rows = [i for i, d in enumerate(death) if pd.notnull(d)]
+    for j, i in enumerate(death_rows):
+        if j % 2 == 1:
+            death[i] = death[i] + pd.Timedelta(days=43)
 
-    pd.DataFrame({
+    adm = pd.DataFrame({
         "SUBJECT_ID": sid, "HADM_ID": hadm,
         "ADMITTIME": intime, "DISCHTIME": outtime, "DEATHTIME": death,
         "ETHNICITY": rng.choice(_ETHNICITIES, n_subjects),
         "INSURANCE": rng.choice(_INSURANCES, n_subjects),
-    }).to_csv(f"{out_dir}/ADMISSIONS.csv.gz", index=False, compression="gzip")
+    })
+    # Prior admissions (no ICU stay) for a third of subjects, with admit-to-
+    # admit gaps on both sides of 30 days, so the reference readmission
+    # formula (ADMITTIME diff <= 30 d flagged on the later stay,
+    # Code/1_preprocessing_structured.py:27-28) takes both values on this
+    # fixture.  A separate rng stream keeps every pre-existing draw (and
+    # thus every other column/golden) unchanged.
+    rng2 = np.random.default_rng(seed + 987)
+    extra = []
+    for i in range(0, n_subjects, 3):
+        gap_days = float(rng2.choice([12.0, 45.0])) + float(rng2.uniform(0, 5))
+        prior_admit = intime[i] - pd.Timedelta(days=gap_days)
+        extra.append({
+            "SUBJECT_ID": sid[i], "HADM_ID": 900_000 + i,
+            "ADMITTIME": prior_admit,
+            "DISCHTIME": prior_admit + pd.Timedelta(days=2.0),
+            "DEATHTIME": pd.NaT,
+            "ETHNICITY": str(rng2.choice(_ETHNICITIES)),
+            "INSURANCE": str(rng2.choice(_INSURANCES)),
+        })
+    adm = pd.concat([adm, pd.DataFrame(extra)], ignore_index=True)
+    adm.to_csv(f"{out_dir}/ADMISSIONS.csv.gz", index=False, compression="gzip")
 
     pd.DataFrame({
         "SUBJECT_ID": sid, "GENDER": rng.choice(["M", "F"], n_subjects), "DOB": dob,

@@ -59,17 +59,41 @@ TASK_SHORT = {"mortality": "mort", "los": "los",
               "mechanical_ventilation": "mech"}
 
 
-def resolve_task(task: Optional[str]):
+#: Single-task labels OUTSIDE the final three-task space: task name ->
+#: structured-CSV label column.  "readmission" is the Uni_label_run
+#: generation's readmission-only text regime
+#: (FinalCode/Uni_label_run/Readmit_Biobert_2(1).py; logged AUROC 0.717 in
+#: Results_Unstruct.txt).  These need the label matrix built from a
+#: different column, so the caller must thread
+#: ``task_label_columns(task)`` into :func:`prepare_experiment`.
+EXTRA_TASK_COLUMNS = {"readmission": "readmission_within_30d"}
+
+
+def task_label_columns(task: Optional[str]):
+    """Label-column override for :func:`prepare_experiment` (None for the
+    standard three-task label space)."""
+    if task in EXTRA_TASK_COLUMNS:
+        return (EXTRA_TASK_COLUMNS[task],)
+    return None
+
+
+def resolve_task(task: Optional[str], allow_extra: bool = False):
     """Optional single-task selection -> (task_names, task_index).
 
     ``task=None`` is the standard three-task regime; a task name selects the
     Mechanical_Ventilation-generation style single-task training (one label
-    column, one head) for that task.
+    column, one head) for that task.  ``allow_extra=True`` additionally
+    accepts :data:`EXTRA_TASK_COLUMNS` tasks (readmission), whose label
+    comes from a different structured column — the pipeline must then pass
+    ``label_columns=task_label_columns(task)`` to prepare_experiment, and
+    ``task_index`` is None (the bundle is already single-column).
     """
     from fairmultimodal_tpu import TASKS
 
     if task is None:
         return tuple(TASKS), None
+    if allow_extra and task in EXTRA_TASK_COLUMNS:
+        return (task,), None
     if task not in TASKS:
         raise ValueError(f"unknown task {task!r}; expected one of {TASKS}")
     return (task,), list(TASKS).index(task)
@@ -202,6 +226,7 @@ def prepare_experiment(
     device_data: bool = True,
     mesh=None,
     task_index: Optional[int] = None,
+    label_columns: Optional[Sequence[str]] = None,
     verbose: bool = True,
 ) -> PreparedExperiment:
     if head:
@@ -209,7 +234,8 @@ def prepare_experiment(
         unstructured = unstructured.head(head)
     bundle = assemble_features(structured, unstructured,
                                require_notes=require_notes,
-                               age_bucket_upper=age_bucket_upper)
+                               age_bucket_upper=age_bucket_upper,
+                               label_columns=label_columns)
     if task_index is not None:
         # Single-task regime (the Mechanical_Ventilation generation trains
         # one-label models — FinalCode/Mechanical_Ventilation/*): slice the

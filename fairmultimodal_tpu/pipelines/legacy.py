@@ -292,8 +292,15 @@ def run_legacy_eddi_experiment(
             and "readmission_within_30_days" in structured.columns):
         structured = structured.rename(
             columns={"readmission_within_30_days": "readmission_within_30d"})
+    label_cols = list(LEGACY_TASKS)
+    if "mortality_30d_post_discharge" in structured.columns:
+        # This generation's own mortality definition — death within 30 days
+        # of discharge (Code/1_preprocessing_structured.py:24-26), emitted
+        # by run_etl; frames without the column (older CSVs, synthetic
+        # fixtures) fall back to the Final-era DEATHTIME-non-null label.
+        label_cols[0] = "mortality_30d_post_discharge"
     bundle = assemble_features(structured, unstructured,
-                               label_columns=LEGACY_TASKS)
+                               label_columns=tuple(label_cols))
     if text_encoder is None:
         text_encoder = TextEncoder.from_pretrained(cfg.text_model)
     bundle.text_embeddings = encode_note_chunks(

@@ -18,7 +18,11 @@ import pandas as pd
 from fairmultimodal_tpu.eval.report import eddi_report, evaluate_multitask
 from fairmultimodal_tpu.models.baselines import TextOnlyClassifier
 from fairmultimodal_tpu.models.text import TextEncoder
-from fairmultimodal_tpu.pipelines.common import prepare_experiment, resolve_task
+from fairmultimodal_tpu.pipelines.common import (
+    prepare_experiment,
+    resolve_task,
+    task_label_columns,
+)
 from fairmultimodal_tpu.train.simple import MultitaskTrainer, SimpleTrainConfig
 
 __all__ = ["TextOnlyPipelineConfig", "run_text_only_experiment"]
@@ -50,7 +54,10 @@ def run_text_only_experiment(
     verbose: bool = True,
 ) -> Dict:
     cfg = config or TextOnlyPipelineConfig()
-    task_names, task_index = resolve_task(cfg.task)
+    # allow_extra: this pipeline also carries the Uni_label_run
+    # readmission-only regime (Readmit_Biobert_2(1).py) — the label then
+    # comes from readmission_within_30d instead of the three-task columns.
+    task_names, task_index = resolve_task(cfg.task, allow_extra=True)
     prep = prepare_experiment(
         structured, unstructured, model_keys=_KEYS,
         batch_size=cfg.train.batch_size, text_encoder=text_encoder,
@@ -59,7 +66,8 @@ def run_text_only_experiment(
         test_size=cfg.test_size, val_size=cfg.val_size,
         split_seed=cfg.split_seed, split_method="skmultilearn",
         pos_weight_mode="balanced", seed=cfg.train.seed,
-        task_index=task_index, verbose=verbose)
+        task_index=task_index, label_columns=task_label_columns(cfg.task),
+        verbose=verbose)
 
     model = TextOnlyClassifier(num_tasks=len(task_names))
     trainer = MultitaskTrainer(model, cfg.train, pos_weight=prep.pos_weight)

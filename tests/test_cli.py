@@ -45,6 +45,27 @@ def test_cli_end_to_end_synthetic_behrt(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_readmission_single_task(tmp_path):
+    """--single_task --task readmission: the Uni_label_run text-only regime
+    (Readmit_Biobert_2(1).py) is runnable from the CLI."""
+    rc = main(["bioclinicalbert", "--synthetic", "64", "--tiny",
+               "--epochs", "1", "--bsz", "32", "--single_task",
+               "--task", "readmission", "--out_dir", str(tmp_path),
+               "--quiet"])
+    assert rc == 0
+
+
+def test_cli_readmission_guards():
+    # readmission without --single_task: 3-headed models have no such head.
+    with pytest.raises(SystemExit):
+        main(["fame", "--task", "readmission", "--synthetic", "16", "--tiny"])
+    # readmission on a non-text pipeline is not a reference regime.
+    with pytest.raises(SystemExit):
+        main(["behrt", "--task", "readmission", "--single_task",
+              "--synthetic", "16", "--tiny"])
+
+
+@pytest.mark.slow
 def test_cli_data_pipeline_synthetic(tmp_path):
     rc = main(["data", "--synthetic", "16", "--out_dir", str(tmp_path),
                "--quiet"])

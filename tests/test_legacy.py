@@ -79,13 +79,94 @@ def test_readmission_label_in_etl(tmp_path):
     raw = tmp_path / "raw"
     out = tmp_path / "out"
     out.mkdir()
-    write_raw_mimic(str(raw), n_subjects=20, seed=3)
+    write_raw_mimic(str(raw), n_subjects=30, seed=3)
     run_etl(str(raw), str(out))
     import pandas as pd
 
     s = pd.read_csv(out / "final_structured_common.csv")
     assert "readmission_within_30d" in s.columns
-    assert set(s["readmission_within_30d"].unique()) <= {0, 1}
+    # The fixture plants prior admissions with gaps on both sides of 30 d,
+    # so the reference formula must produce BOTH label values.
+    assert set(s["readmission_within_30d"].unique()) == {0, 1}
+    # Earliest-era mortality label present, binary, and genuinely different
+    # from the Final label (the fixture pushes some deaths past 30 d
+    # post-discharge).
+    assert "mortality_30d_post_discharge" in s.columns
+    assert set(s["mortality_30d_post_discharge"].unique()) <= {0, 1}
+    assert (s["mortality_30d_post_discharge"] <= s["short_term_mortality"]).all()
+    assert (s["mortality_30d_post_discharge"] != s["short_term_mortality"]).any()
+
+
+def test_label_formulas_match_reference():
+    """The two earliest-era label formulas, verified against VERBATIM
+    re-statements of Code/1_preprocessing_structured.py:24-28 on a
+    hand-built admissions table covering the edges: first admission,
+    same-day readmission, exactly-30/31-day admit gaps, long discharge but
+    short admit gap (the case where the old discharge-gap variant and the
+    reference formula disagree), in-hospital death, death 29 vs 31 days
+    post-discharge, and no death."""
+    import pandas as pd
+
+    from fairmultimodal_tpu.data.etl import (
+        compute_mortality_30d_post_discharge,
+        compute_readmission_labels,
+    )
+
+    T = pd.Timestamp
+    adm = pd.DataFrame([
+        # subject 1: three admissions — gaps 31 d (admit-to-admit) then 2 d.
+        dict(subject_id=1, hadm_id=10, ADMITTIME=T("2100-01-01"),
+             DISCHTIME=T("2100-01-20"), DEATHTIME=pd.NaT),
+        dict(subject_id=1, hadm_id=11, ADMITTIME=T("2100-02-01"),
+             DISCHTIME=T("2100-02-03"), DEATHTIME=pd.NaT),
+        dict(subject_id=1, hadm_id=12, ADMITTIME=T("2100-02-05"),
+             DISCHTIME=T("2100-02-10"), DEATHTIME=T("2100-02-10 12:00")),
+        # subject 2: admit gap exactly 30 d; long stay means the discharge
+        # gap is only 5 d — both variants agree positive but on DIFFERENT
+        # admissions (reference flags hadm 21, discharge-gap flags 20).
+        dict(subject_id=2, hadm_id=20, ADMITTIME=T("2100-03-01"),
+             DISCHTIME=T("2100-03-26"), DEATHTIME=pd.NaT),
+        dict(subject_id=2, hadm_id=21, ADMITTIME=T("2100-03-31"),
+             DISCHTIME=T("2100-04-02"), DEATHTIME=T("2100-05-20")),
+        # subject 3: single admission, death 29 d post discharge.
+        dict(subject_id=3, hadm_id=30, ADMITTIME=T("2100-05-01"),
+             DISCHTIME=T("2100-05-04"), DEATHTIME=T("2100-06-02")),
+        # subject 4: single admission, no death.
+        dict(subject_id=4, hadm_id=40, ADMITTIME=T("2100-06-01"),
+             DISCHTIME=T("2100-06-05"), DEATHTIME=pd.NaT),
+    ])
+
+    # --- readmission: reference formula verbatim (1_preprocessing_
+    # structured.py:27-28) ---
+    ref = adm.sort_values(by=["subject_id", "ADMITTIME"]).copy()
+    ref["readmitted_within_30_days"] = (
+        ref.groupby("subject_id")["ADMITTIME"].diff().dt.days <= 30
+    ).astype(int)
+    got = compute_readmission_labels(adm, mode="reference")
+    merged = pd.merge(ref, got, on=["subject_id", "hadm_id"])
+    assert (merged["readmission_within_30d"]
+            == merged["readmitted_within_30_days"]).all()
+    by_hadm = got.set_index("hadm_id")["readmission_within_30d"]
+    assert by_hadm[10] == 0          # first admission
+    assert by_hadm[11] == 0          # 31-day admit gap
+    assert by_hadm[12] == 1          # 4-day admit gap
+    assert by_hadm[20] == 0 and by_hadm[21] == 1   # flagged on the LATER stay
+    assert by_hadm[30] == 0 and by_hadm[40] == 0
+
+    # The old discharge-gap variant flags the EARLIER admission instead.
+    alt = compute_readmission_labels(adm, mode="discharge_gap") \
+        .set_index("hadm_id")["readmission_within_30d"]
+    assert alt[20] == 1 and alt[21] == 0
+
+    # --- mortality: reference formula verbatim (:24-26) ---
+    expect = ((adm["DEATHTIME"] - adm["DISCHTIME"]).dt.days <= 30).astype(int)
+    got_m = compute_mortality_30d_post_discharge(adm)
+    assert (got_m == expect).all()
+    by_hadm_m = dict(zip(adm["hadm_id"], got_m))
+    assert by_hadm_m[12] == 1        # in-hospital death (same-day)
+    assert by_hadm_m[21] == 0        # death 48 d post discharge
+    assert by_hadm_m[30] == 1        # 29 d post discharge
+    assert by_hadm_m[40] == 0        # no death (NaT-safe)
 
 
 @pytest.mark.slow

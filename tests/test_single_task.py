@@ -125,8 +125,45 @@ def test_text_only_single_task(frames, tiny_text):
     _check_single(out)
 
 
+def test_text_only_readmission_single_task(frames, tiny_text):
+    """The Uni_label_run readmission-only text regime
+    (FinalCode/Uni_label_run/Readmit_Biobert_2(1).py): a one-logit text
+    model trained on readmission_within_30d."""
+    from fairmultimodal_tpu.pipelines import (
+        TextOnlyPipelineConfig,
+        run_text_only_experiment,
+    )
+
+    s, u = frames
+    cfg = TextOnlyPipelineConfig(train=_tiny_train(loss="focal", gamma=2.0,
+                                                   optimizer="adamw"),
+                                 text_batch_size=16, task="readmission")
+    out = run_text_only_experiment(s, u, cfg, text_encoder=tiny_text,
+                                   verbose=False)
+    assert set(out["metrics"]) == {"readmission"}
+    assert np.isfinite(out["metrics"]["readmission"]["f1"])
+    prep = out["prep"]
+    assert prep.bundle.labels.shape[1] == 1
+    # The label really is the readmission column (merge order preserves the
+    # structured frame's row order for these synthetic one-note-per-row
+    # frames, so direct comparison is valid).
+    import pandas as pd
+
+    merged = pd.merge(s, u.drop(columns=[c for c in u.columns
+                                         if c not in ("subject_id", "hadm_id")
+                                         and not c.startswith("note_")]),
+                      on=["subject_id", "hadm_id"], how="inner")
+    has_note = merged[[c for c in merged.columns if c.startswith("note_")]] \
+        .apply(lambda r: any(isinstance(v, str) and v.strip() for v in r), axis=1)
+    expect = merged.loc[has_note, "readmission_within_30d"].to_numpy()
+    np.testing.assert_array_equal(prep.bundle.labels[:, 0], expect)
+
+
 def test_resolve_task_errors():
-    from fairmultimodal_tpu.pipelines.common import resolve_task
+    from fairmultimodal_tpu.pipelines.common import (
+        resolve_task,
+        task_label_columns,
+    )
 
     names, idx = resolve_task(None)
     assert len(names) == 3 and idx is None
@@ -134,3 +171,11 @@ def test_resolve_task_errors():
     assert names == ("los",) and idx == 1
     with pytest.raises(ValueError):
         resolve_task("ventilation")   # CLI name, not the TASKS name
+    # readmission is opt-in (text-only pipeline), label from its own column.
+    with pytest.raises(ValueError):
+        resolve_task("readmission")
+    names, idx = resolve_task("readmission", allow_extra=True)
+    assert names == ("readmission",) and idx is None
+    assert task_label_columns("readmission") == ("readmission_within_30d",)
+    assert task_label_columns("los") is None
+    assert task_label_columns(None) is None
