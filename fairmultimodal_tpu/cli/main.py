@@ -30,6 +30,14 @@ import os
 import sys
 from typing import Optional
 
+# Persistent XLA compile cache for every CLI-launched process (bench.py
+# already does this).  On this platform a fresh process otherwise re-pays
+# multi-minute TPU compiles of the train step and text-encoder buckets;
+# the cache is keyed on HLO+flags so it is always safe.  setdefault: an
+# explicit user value wins.  Must happen before the first jax compile —
+# pipelines import jax lazily, so module import time here is early enough.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
 PIPELINES = ("data", "behrt", "bioclinicalbert", "dfc", "advdebias", "fpm",
              "fairehrclp", "average", "eddi", "sigmoid", "fame", "predict",
              "legacy-behrt", "legacy-eddi")
@@ -79,9 +87,11 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
     p.add_argument("--mesh", default=None, metavar="DATA[xMODEL]",
                    help="train over a jax device mesh (fame/fpm): '8' = "
                         "8-way pure data parallelism (shard_map path; Pallas "
-                        "kernels stay enabled per shard), '4x2' = 4-way data "
-                        "x 2-way tensor parallelism (GSPMD; on real TPU set "
-                        "FMTPU_KERNELS=0 to use the XLA layer path)")
+                        "kernels stay enabled per shard — the recommended "
+                        "multi-chip mode), '4x2' = 4-way data x 2-way tensor "
+                        "parallelism (GSPMD; on real TPU the Pallas kernels "
+                        "are auto-disabled with a warning — recorded "
+                        "decision, see ops/gates.py)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny geometry for CPU smoke runs")
@@ -511,6 +521,13 @@ def run_pipeline(args) -> int:
 
 
 def main(argv=None, default_pipeline: Optional[str] = None) -> int:
+    # Belt-and-braces with the module-level setdefault: if jax was already
+    # imported (it snapshots env at import), push the cache dir through the
+    # live config instead.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     args = build_parser(default_pipeline).parse_args(argv)
     return run_pipeline(args)
 

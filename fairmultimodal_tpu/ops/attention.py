@@ -54,11 +54,14 @@ def attention_reference(
 def _can_use_pallas(q: jax.Array) -> bool:
     if jax.default_backend() not in ("tpu",):
         return False
-    if os.environ.get("FMTPU_KERNELS", "1") == "0":
-        # Force the XLA path — required when attention runs under a mixed
-        # data x model (TP) mesh on real TPU, where GSPMD cannot partition
-        # Mosaic custom calls (pure-DP meshes use shard_map instead and keep
-        # the kernels; see train/loop.py).
+    from fairmultimodal_tpu.ops import gates
+
+    if not gates.kernels_enabled():
+        # Force the XLA path — FMTPU_KERNELS=0, or force_xla_path() when
+        # attention runs under a mixed data x model (TP) mesh on real TPU,
+        # where GSPMD cannot partition Mosaic custom calls (pure-DP meshes
+        # use shard_map instead and keep the kernels; decision record in
+        # ops/gates.py, see train/loop.py).
         return False
     b, h, s, d = q.shape
     # Whole-S blocks are legal whenever the sublane tile divides S (16 covers

@@ -708,9 +708,12 @@ def can_use_fused_ffn(x: jax.Array, hdim: int, fdim: int) -> bool:
     """
     if jax.default_backend() != "tpu":
         return False
-    if os.environ.get("FMTPU_KERNELS", "1") == "0":
-        # XLA layer path, e.g. under a mixed data x model (TP) mesh where
-        # GSPMD cannot partition Mosaic custom calls (see train/loop.py).
+    from fairmultimodal_tpu.ops import gates
+
+    if not gates.kernels_enabled():
+        # XLA layer path: FMTPU_KERNELS=0, or force_xla_path() under a mixed
+        # data x model (TP) mesh where GSPMD cannot partition Mosaic custom
+        # calls (decision record in ops/gates.py; see train/loop.py).
         return False
     if x.dtype not in (jnp.bfloat16, jnp.float32):
         return False

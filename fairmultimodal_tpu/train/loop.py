@@ -24,6 +24,7 @@ best-val-loss early stop (patience 5, ``10_FAME.py:830-840``).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -218,6 +219,30 @@ class FAMETrainer:
                     f"batch_size {cfg.batch_size} must be divisible by the "
                     f"mesh's data axis ({shape['data']}) for the shard_map "
                     f"data-parallel path")
+            if dp is None and jax.default_backend() == "tpu":
+                # Mixed data x model mesh on real TPU: auto-fall back to the
+                # XLA layer path instead of letting GSPMD trip over the
+                # Mosaic custom calls at trace time.  Deliberate and
+                # recorded — the kernels are NOT carried through TP (the
+                # folded LN epilogue is invalid across the row-parallel psum
+                # boundary, and TP is the wrong tool at this model scale);
+                # full decision record in ops/gates.py.  Users who want the
+                # kernels multi-chip should use a pure-DP mesh (--mesh Nx1).
+                from fairmultimodal_tpu.ops import gates
+
+                if gates.kernels_enabled():
+                    import warnings
+
+                    warnings.warn(
+                        "mixed data×model mesh on TPU: Pallas kernels "
+                        "disabled for this process (GSPMD cannot partition "
+                        "Mosaic custom calls). Pure-DP meshes (--mesh Nx1) "
+                        "keep the kernels via shard_map; see "
+                        "fairmultimodal_tpu/ops/gates.py for the decision "
+                        "record.", stacklevel=2)
+                    gates.force_xla_path(
+                        "mixed data×model mesh (GSPMD cannot partition "
+                        "Mosaic custom calls)")
         self._dp_axis = dp
 
         def local_train_loss(params, batch, dyn_w, rng):
@@ -250,26 +275,46 @@ class FAMETrainer:
         else:
             loss_for_grad = local_train_loss
 
+        # The reference joint loss never touches the modality classifier
+        # heads (10_FAME.py:401-449 uses fused_logits only), so torch
+        # autograd leaves their .grad None and AdamW SKIPS them entirely
+        # — frozen at init with NO weight decay (:786).  optax.adamw
+        # would still apply the decoupled wd*p term to their exactly-
+        # zero-gradient leaves; zero those updates so the heads stay
+        # bit-frozen like the reference (their logits drive the dynamic-
+        # weight pass, so slow decay would drift the weight trajectory).
+        # Their Adam moments stay zero (zero grads), so this is the only
+        # term to suppress.
+        def _is_loss_free(path) -> bool:
+            return any(getattr(k, "key", None) in _LOSS_FREE_HEADS
+                       for k in path)
+
+        # FMTPU_FUSED_OPT=1 selects the single-tree_map fused
+        # clip+AdamW+mask+apply (ops/optim.py::fused_clip_adamw_apply).
+        # NEGATIVE RESULT, default off: the same-session bench A/B measured
+        # 2578 (chain) vs 2568 (fused) p/s — XLA already fuses the optax
+        # elementwise chain into the same per-leaf HBM passes inside the
+        # step jit, so hand-fusing buys nothing.  The path stays as a
+        # bit-identical-under-jit alternative (tests/test_optim_fused.py)
+        # and as the recorded probe of the 2.4 ms optimizer tail.
+        fused_opt = os.environ.get("FMTPU_FUSED_OPT", "0") == "1"
+
         def train_step(params, opt_state, batch, dyn_w, rng):
             (total, (bce, leddi)), grads = jax.value_and_grad(
                 loss_for_grad, has_aux=True)(params, batch, dyn_w, rng)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            # The reference joint loss never touches the modality classifier
-            # heads (10_FAME.py:401-449 uses fused_logits only), so torch
-            # autograd leaves their .grad None and AdamW SKIPS them entirely
-            # — frozen at init with NO weight decay (:786).  optax.adamw
-            # would still apply the decoupled wd*p term to their exactly-
-            # zero-gradient leaves; zero those updates so the heads stay
-            # bit-frozen like the reference (their logits drive the dynamic-
-            # weight pass, so slow decay would drift the weight trajectory).
-            # Their Adam moments stay zero (zero grads), so this is the only
-            # term to suppress.
-            updates = jax.tree_util.tree_map_with_path(
-                lambda path, u: jnp.zeros_like(u) if any(
-                    getattr(k, "key", None) in _LOSS_FREE_HEADS
-                    for k in path) else u,
-                updates)
-            params = optax.apply_updates(params, updates)
+            if fused_opt:
+                from fairmultimodal_tpu.ops.optim import fused_clip_adamw_apply
+
+                params, opt_state = fused_clip_adamw_apply(
+                    grads, opt_state, params, max_norm=cfg.grad_clip,
+                    frozen_fn=_is_loss_free)
+            else:
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                updates = jax.tree_util.tree_map_with_path(
+                    lambda path, u: jnp.zeros_like(u)
+                    if _is_loss_free(path) else u,
+                    updates)
+                params = optax.apply_updates(params, updates)
             return params, opt_state, total, bce
 
         def eval_step(params, batch, dyn_w):
