@@ -24,7 +24,9 @@ import time
 
 # Persistent XLA compilation cache: repeat bench runs skip the multi-minute
 # first compile (especially costly through the axon TPU tunnel).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+from fairmultimodal_tpu.cachedir import default_compile_cache_dir  # jax-free import
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", default_compile_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import numpy as np

@@ -30,13 +30,26 @@ import os
 import sys
 from typing import Optional
 
-# Persistent XLA compile cache for every CLI-launched process (bench.py
-# already does this).  On this platform a fresh process otherwise re-pays
-# multi-minute TPU compiles of the train step and text-encoder buckets;
-# the cache is keyed on HLO+flags so it is always safe.  setdefault: an
-# explicit user value wins.  Must happen before the first jax compile —
-# pipelines import jax lazily, so module import time here is early enough.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+def _ensure_compile_cache() -> None:
+    """Persistent XLA compile cache for every CLI-launched process (bench.py
+    does the same).  On this platform a fresh process otherwise re-pays
+    multi-minute TPU compiles of the train step and text-encoder buckets;
+    the cache is keyed on HLO+flags so it is always safe.  setdefault: an
+    explicit user value wins.  Called from main() AFTER parse_args — before
+    any pipeline imports jax, but late enough that --help/usage-error paths
+    never touch the environment or pay the jax import (advisor r4).  The
+    default dir is per-user to avoid permission collisions on shared /tmp.
+    """
+    from fairmultimodal_tpu.cachedir import default_compile_cache_dir
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          default_compile_cache_dir())
+    if "jax" in sys.modules:
+        # jax snapshots env at import; push through the live config instead.
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 PIPELINES = ("data", "behrt", "bioclinicalbert", "dfc", "advdebias", "fpm",
              "fairehrclp", "average", "eddi", "sigmoid", "fame", "predict",
@@ -521,14 +534,8 @@ def run_pipeline(args) -> int:
 
 
 def main(argv=None, default_pipeline: Optional[str] = None) -> int:
-    # Belt-and-braces with the module-level setdefault: if jax was already
-    # imported (it snapshots env at import), push the cache dir through the
-    # live config instead.
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     args = build_parser(default_pipeline).parse_args(argv)
+    _ensure_compile_cache()
     return run_pipeline(args)
 
 

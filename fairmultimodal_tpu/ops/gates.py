@@ -31,7 +31,8 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-__all__ = ["kernels_enabled", "force_xla_path", "forced_xla_reason"]
+__all__ = ["kernels_enabled", "force_xla_path", "forced_xla_reason",
+           "clear_forced_xla_path"]
 
 _FORCE_XLA_REASON: Optional[str] = None
 
@@ -49,6 +50,20 @@ def force_xla_path(reason: str) -> None:
 
 def forced_xla_reason() -> Optional[str]:
     return _FORCE_XLA_REASON
+
+
+def clear_forced_xla_path() -> None:
+    """Re-enable the Pallas kernels after a :func:`force_xla_path`.
+
+    For long-lived processes/notebooks that built a mixed-mesh trainer (which
+    forces the XLA path) and later build a pure-DP or single-chip trainer that
+    could use the kernels again (advisor finding, round 4).  Caveat: already-
+    jitted step functions keep whatever path they TRACED with — call this
+    before building the new trainer, not to mutate an existing one.  The
+    ``FMTPU_KERNELS=0`` environment override is unaffected.
+    """
+    global _FORCE_XLA_REASON
+    _FORCE_XLA_REASON = None
 
 
 def kernels_enabled() -> bool:

@@ -11,9 +11,10 @@ cross-check against the *live* packages was an environment-blocked debt
 install (``pip install iterative-stratification scikit-multilearn``) and it
 compares index sets over a battery of reference-shaped label matrices.
 
-Exit codes: 0 = all comparisons match, 1 = mismatch (vendored code needs
-fixing), 2 = upstream packages not importable (environment cannot run the
-check — not a failure of the vendored code).
+Exit codes: 0 = both packages imported and all comparisons match,
+1 = mismatch (vendored code needs fixing), 2 = at least one upstream
+package not importable, so the run was partial or fully skipped (the
+environment cannot run the check — not a failure of the vendored code).
 
 skmultilearn caveat: upstream breaks ties through the GLOBAL unseeded
 ``np.random`` (the reference never seeds it — its own 02/03 splits are not
@@ -132,7 +133,9 @@ def main() -> int:
     codes = {r1, r2}
     if 1 in codes:
         return 1
-    if codes == {2}:
+    if 2 in codes:
+        # Any skipped sub-check is a partial run, never "all match" (advisor
+        # r4): reserve 0 for both packages actually imported and passing.
         return 2
     return 0
 

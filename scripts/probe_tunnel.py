@@ -22,7 +22,12 @@ import os
 import statistics
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from fairmultimodal_tpu.cachedir import default_compile_cache_dir  # jax-free
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", default_compile_cache_dir())
 
 import jax
 import jax.numpy as jnp

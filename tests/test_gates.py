@@ -29,6 +29,15 @@ def test_env_knob_and_force(monkeypatch):
     gates.force_xla_path("test reason")
     assert not gates.kernels_enabled()
     assert gates.forced_xla_reason() == "test reason"
+    # Public reset (advisor r4): later single-chip/pure-DP trainers in the
+    # same process can regain the kernels.
+    gates.clear_forced_xla_path()
+    assert gates.forced_xla_reason() is None
+    assert gates.kernels_enabled()
+    # The env override is independent of the forced path.
+    monkeypatch.setenv("FMTPU_KERNELS", "0")
+    gates.clear_forced_xla_path()
+    assert not gates.kernels_enabled()
 
 
 def test_mixed_mesh_on_tpu_auto_disables_kernels(monkeypatch):
