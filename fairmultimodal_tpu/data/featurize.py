@@ -49,6 +49,9 @@ class FeatureBundle:
     lab_columns: List[str]
     note_chunks: List[List[str]]    # per-patient list of non-empty chunk texts
     text_embeddings: Optional[np.ndarray] = None  # [N, H] float32, filled later
+    # Pre-z-score lab matrix (fillna(0) only): 04's stage-2 adversarial
+    # debiasing feeds RAW lab columns (04_AdvDebias.py:888-891 — no scaling).
+    labs_raw: Optional[np.ndarray] = None  # [N, L] float32
 
     @property
     def num_patients(self) -> int:
@@ -207,8 +210,8 @@ def assemble_features(
         if c not in EXCLUDE_COLS and not c.startswith("note_")
         and pd.api.types.is_numeric_dtype(df[c])
     ]
-    labs = df[lab_cols].fillna(0).to_numpy(dtype=np.float32)
-    labs, _, _ = zscore(labs)
+    labs_raw = df[lab_cols].fillna(0).to_numpy(dtype=np.float32)
+    labs, _, _ = zscore(labs_raw)
 
     chunks: List[List[str]] = []
     for _, row in df.iterrows():
@@ -228,4 +231,5 @@ def assemble_features(
         labels=df[label_columns].to_numpy(np.float32),
         lab_columns=lab_cols,
         note_chunks=chunks,
+        labs_raw=labs_raw,
     )

@@ -5,10 +5,15 @@ trained with FocalLoss gamma=1 — the same engine as 07 with the
 full-demographics structured encoder.
 
 Stage 2 (04:559-789): adversarial min-max over a hyperparameter grid, with
-1:20 case/control matching and SMOTEENN resampling.  The predictor consumes a
-feature matrix; the reference feeds its merged tabular features — here the
-default is the z-scored lab matrix + demographic codes (the same information
-content without the torch tensors), or pass ``stage2_features`` explicitly.
+1:20 case/control matching and SMOTEENN resampling.  Defaults follow the
+reference protocol exactly (round-5 fix): X = RAW lab feature columns only,
+fillna(0), no scaling (04:888-891); sensitive attribute = ethnicity codes
+binarized as ``z > 0`` inside the engine (04:893,675); grid = the full 2^6
+``REFERENCE_GRID`` (04:1081-1088).  Pass ``stage2_features`` /
+``stage2_sensitive`` / ``stage2_grid`` to deviate.  Artifacts mirror the
+reference's ``model``/``adv``/``metrics`` layout (04:752-772,1089-1091):
+per-grid-point + final predictor/adversary npz, metrics.csv,
+loss_metrics.png.
 """
 
 from __future__ import annotations
@@ -48,13 +53,15 @@ class AdvDebiasPipelineConfig:
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
     dtype: str = "float32"
-    # Stage 2
+    # Stage 2 (reference defaults: mortality target, ethnicity sensitive
+    # attribute binarized z>0, full 2^6 grid — 04:888-893,1081-1088)
     stage2_task: int = 0                   # which label column (mortality)
-    stage2_sensitive: str = "gender"       # binarized sensitive attribute
-    stage2_grid: Optional[Dict[str, List]] = None
+    stage2_sensitive: str = "ethnicity"    # binarized sensitive attribute
+    stage2_grid: Optional[Dict[str, List]] = None   # None -> REFERENCE_GRID
     run_stage2: bool = True
     out_dir: str = "."
-    save_artifacts: bool = True        # metrics.csv + loss_metrics.png (04:752-772)
+    # metrics.csv + loss_metrics.png + model//adv/ npz (04:752-772,1089-1091)
+    save_artifacts: bool = True
 
 
 def run_adv_debias_experiment(
@@ -105,9 +112,9 @@ def run_adv_debias_experiment(
     if cfg.run_stage2:
         X = stage2_features
         if X is None:
-            X = np.concatenate([
-                prep.arrays["lab_features"],
-                prep.arrays["demo_features"]], axis=1).astype(np.float32)
+            # Reference stage-2 features: the RAW (unscaled, fillna(0)) lab
+            # columns only — no demographics, no z-score (04:888-891).
+            X = prep.bundle.labs_raw.astype(np.float32)
         y = prep.bundle.labels[:, cfg.stage2_task]
         z = {"gender": prep.bundle.gender_codes,
              "age": prep.bundle.age_codes,
@@ -124,7 +131,14 @@ def run_adv_debias_experiment(
         if cfg.save_artifacts:
             import os
 
+            from fairmultimodal_tpu.train.adversarial import save_adv_artifacts
+
             os.makedirs(cfg.out_dir, exist_ok=True)
+            written = save_adv_artifacts(cfg.out_dir, stage2, X.shape[1])
+            if verbose and written:
+                print(f"Saved {len(written)} stage-2 model artifacts under",
+                      os.path.join(cfg.out_dir, "model"), "and",
+                      os.path.join(cfg.out_dir, "adv"))
             rows = [dict(**r["config"], **r["metrics"]) for r in stage2]
             pd.DataFrame(rows).to_csv(
                 os.path.join(cfg.out_dir, "metrics.csv"), index=False)

@@ -55,18 +55,49 @@ from fairmultimodal_tpu.utils.rng import threefry_key
 
 __all__ = ["AdvConfig", "AdvPredictor", "AdvAdversary", "train_adversarial",
            "adv_grid_search", "match_case_control", "resample_smoteenn",
-           "adv_metrics"]
+           "adv_metrics", "REFERENCE_GRID", "REDUCED_GRID", "params_tostring",
+           "save_adv_artifacts", "load_adv_artifact"]
+
+# The reference stage-2 hyperparameter grid, verbatim (04_AdvDebias.py:
+# 1081-1088): the full 2^6 itertools.product — 64 grid points.  This is the
+# default so running 04 out of the box reproduces the reference experiment.
+REFERENCE_GRID: Dict[str, List] = {
+    "learning_rate": [1e-4, 5e-5],
+    "num_iters": [1000, 2000],
+    "num_nodes": [64, 128],
+    "num_nodes_adv": [32, 64],
+    "dropout_rate": [0.3, 0.5],
+    "alpha": [1, 2],
+}
+
+# Single cheap point for tests/CI and --tiny runs (pre-round-5 default).
+REDUCED_GRID: Dict[str, List] = {
+    "learning_rate": [1e-3], "num_iters": [500], "num_nodes": [64],
+    "num_nodes_adv": [32], "dropout_rate": [0.1], "alpha": [1.0],
+}
+
+# Reference grid-point naming order (04_AdvDebias.py:555,586-589).
+_HYPERPARAMETER_LIST = ("learning_rate", "num_iters", "num_nodes",
+                        "num_nodes_adv", "dropout_rate", "alpha")
+
+
+def params_tostring(cfg: "AdvConfig") -> str:
+    """Reference ``params_tostring`` (04:586-594): hyphen-joined
+    ``name_value`` in hyperparameter_list order — used to label per-grid-point
+    artifacts."""
+    return "-".join(f"{k}_{getattr(cfg, k)}" for k in _HYPERPARAMETER_LIST)
 
 
 @dataclasses.dataclass
 class AdvConfig:
-    """One grid point (reference hyperparameter_list, 04:569-585)."""
+    """One grid point (reference hyperparameter_list, 04:569-585).  Defaults
+    are the first value of each REFERENCE_GRID axis."""
 
-    learning_rate: float = 1e-3
+    learning_rate: float = 1e-4
     num_iters: int = 1000
     num_nodes: int = 64
     num_nodes_adv: int = 32
-    dropout_rate: float = 0.1
+    dropout_rate: float = 0.3
     alpha: float = 1.0
     adversarial: bool = True
     seed: int = 25
@@ -292,6 +323,67 @@ def adv_metrics(yhat: np.ndarray, y: np.ndarray, z: np.ndarray,
             "f1": f1, "auroc": auroc, "recall_gap_z": recall_gap}
 
 
+def save_adv_artifacts(out_dir: str, results: List[Dict],
+                       num_features: int) -> List[str]:
+    """Persist the stage-2 models under reference-shaped names.
+
+    The reference saves the predictor and adversary per grid point under
+    fixed filenames ``model/model-basic_final.pth`` / ``adv/model-adv_final.pth``
+    (04_AdvDebias.py:758-761 — each grid point OVERWRITES them, so the files
+    on disk after a full run are the last grid point's), and pre-creates the
+    ``model``/``adv``/``metrics`` directories (04:1089-1091).  We keep both
+    semantics and fix the information loss: every grid point is additionally
+    saved under its ``params_tostring`` name so no model is lost to the
+    overwrite.  npz analogue of torch.save; self-describing (metadata carries
+    the grid-point config + feature width) so :func:`load_adv_artifact`
+    reloads without external context.
+    """
+    import os
+
+    from fairmultimodal_tpu.utils.checkpoint import save_params_npz
+
+    for d in ("model", "adv", "metrics"):
+        os.makedirs(os.path.join(out_dir, d), exist_ok=True)
+    written: List[str] = []
+    for r in results:
+        tag = params_tostring(AdvConfig(**{
+            k: r["config"][k] for k in _HYPERPARAMETER_LIST}))
+        meta = {"config": r["config"], "num_features": int(num_features)}
+        for kind, params, sub, stem in (
+                ("predictor", r["predictor_params"], "model", "model-basic"),
+                ("adversary", r["adversary_params"], "adv", "model-adv")):
+            if kind == "adversary" and not r["config"].get("adversarial", True):
+                continue
+            for name in (f"{stem}_{tag}.npz", f"{stem}_final.npz"):
+                path = os.path.join(out_dir, sub, name)
+                save_params_npz(path, params, metadata=dict(meta, kind=kind))
+                written.append(path)
+    return written
+
+
+def load_adv_artifact(path: str):
+    """Reload a stage-2 artifact written by :func:`save_adv_artifacts`.
+
+    Returns ``(module, params, config)`` — the Flax module is rebuilt from
+    the embedded metadata, so ``module.apply({"params": params}, X)`` runs
+    inference directly."""
+    from fairmultimodal_tpu.utils.checkpoint import (load_metadata_npz,
+                                                     load_params_npz)
+
+    meta = load_metadata_npz(path)
+    if not meta or "kind" not in meta:
+        raise ValueError(f"{path} is not a stage-2 adversarial artifact")
+    cfg = AdvConfig(**meta["config"])
+    if meta["kind"] == "predictor":
+        module = AdvPredictor(cfg.num_nodes, cfg.dropout_rate)
+        example = jnp.zeros((1, int(meta["num_features"])), jnp.float32)
+    else:
+        module = AdvAdversary(cfg.num_nodes_adv, cfg.dropout_rate)
+        example = jnp.zeros((1, 2), jnp.float32)
+    like = module.init(threefry_key(0), example)["params"]
+    return module, load_params_npz(path, like), cfg
+
+
 def adv_grid_search(
     X, y, z, Xval, yval, zval,
     grid: Optional[Dict[str, List]] = None,
@@ -302,11 +394,14 @@ def adv_grid_search(
 ) -> List[Dict]:
     """Reference two-stage protocol: matching + SMOTEENN once, then the
     hyperparameter product grid (04:569-585,664-702).  Returns one result
-    dict (config, metrics, curves) per grid point."""
-    grid = grid or {
-        "learning_rate": [1e-3], "num_iters": [500], "num_nodes": [64],
-        "num_nodes_adv": [32], "dropout_rate": [0.1], "alpha": [1.0],
-    }
+    dict (config, metrics, curves) per grid point.
+
+    The default grid is the reference's full 2^6 product (REFERENCE_GRID,
+    04:1081-1088) — 64 full-batch runs.  At reference scale (matched+resampled
+    train set of a few thousand rows, 1000-2000 Adam iterations each) one
+    point takes seconds on TPU/CPU, so the full grid is minutes, not hours;
+    pass ``grid=REDUCED_GRID`` (or any dict) for CI-scale runs."""
+    grid = grid or REFERENCE_GRID
     y = np.asarray(y, np.float32)
     z = (np.asarray(z) > 0).astype(np.float32)
     if not use_data_as_is:

@@ -126,6 +126,19 @@ def test_adv_debias_pipeline(frames, tiny_text, tmp_path):
     assert np.isfinite(m["f1"])
     import os
     assert os.path.exists(os.path.join(str(tmp_path), "metrics.csv"))
+    # Stage-2 model artifacts (npz analogue of model/model-basic*.pth,
+    # adv/model-adv*.pth — 04:752-763) are written and reloadable.
+    from fairmultimodal_tpu.train.adversarial import load_adv_artifact
+
+    pred_final = os.path.join(str(tmp_path), "model", "model-basic_final.npz")
+    adv_final = os.path.join(str(tmp_path), "adv", "model-adv_final.npz")
+    assert os.path.exists(pred_final) and os.path.exists(adv_final)
+    module, params, cfg2 = load_adv_artifact(pred_final)
+    import jax.numpy as jnp
+    X = np.asarray(out["prep"].bundle.labs_raw, np.float32)
+    logits = module.apply({"params": params}, jnp.asarray(X))
+    assert np.isfinite(np.asarray(logits)).all()
+    assert cfg2.num_nodes == 16
 
 
 @pytest.mark.slow
