@@ -85,6 +85,13 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
     p.add_argument("--beta", type=float, default=None,
                    help="dynamic-weight step size")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--runs", type=int, default=1, metavar="N",
+                   help="repeat the experiment over N seeds (seed, seed+1, "
+                        "...) and print the paper's Table-3-shaped "
+                        "mean±std AUROC/AUPRC/EDDI%%/EO%% block "
+                        "(5-run-average protocol, reference README.md:"
+                        "215-224); per-run values land in "
+                        "<out_dir>/runs_aggregate.csv")
     p.add_argument("--mimic_dir", default=".")
     p.add_argument("--data_dir", default=".")
     p.add_argument("--out_dir", default="./outputs")
@@ -217,6 +224,8 @@ def _apply_single_task(cfg, args):
 def _finish_run(out, args) -> int:
     """Post-run hooks shared by every training pipeline: optional
     TensorBoard export (--tensorboard), then the --task report focus."""
+    if getattr(args, "_collect", None) is not None and isinstance(out, dict):
+        args._collect.append(out)   # --runs N aggregation hook
     if getattr(args, "tensorboard", False) and isinstance(out, dict):
         import time as _time
 
@@ -260,7 +269,55 @@ def _build_mesh(args):
     return get_mesh(data=data, model=model)
 
 
+def _run_multi(args) -> int:
+    """--runs N: the paper's 5-run-average protocol (README.md:215-224).
+
+    Repeats the pipeline over seeds (seed, seed+1, ..., seed+N-1) — the seed
+    feeds param init, loader shuffling AND --synthetic cohort generation —
+    then prints the Table-3-shaped mean±std block and writes every per-run
+    value to <out_dir>/runs_aggregate.csv."""
+    import copy
+
+    from fairmultimodal_tpu.eval.aggregate import (aggregate_runs,
+                                                   extract_table3_row,
+                                                   format_table3,
+                                                   write_runs_csv)
+
+    if args.pipeline in ("data", "predict"):
+        raise SystemExit(f"--runs is for training pipelines, not "
+                         f"{args.pipeline!r}")
+    rows, seeds = [], []
+    for r in range(args.runs):
+        run_args = copy.copy(args)
+        run_args.runs = 1
+        run_args.seed = args.seed + r
+        run_args._collect = collected = []
+        if not args.quiet:
+            print(f"\n===== Run {r + 1}/{args.runs} (seed {run_args.seed}) "
+                  f"=====")
+        rc = run_pipeline(run_args)
+        if rc != 0:
+            return rc
+        if collected:
+            rows.append(extract_table3_row(collected[-1]))
+            seeds.append(run_args.seed)
+    if not rows:
+        raise SystemExit("--runs: no run produced a metrics dict")
+    agg = aggregate_runs(rows)
+    table = format_table3(agg, len(rows))
+    print(f"\n===== Aggregate over {len(rows)} runs "
+          f"(seeds {seeds[0]}..{seeds[-1]}) =====")
+    print(table)
+    os.makedirs(args.out_dir, exist_ok=True)
+    csv_path = os.path.join(args.out_dir, "runs_aggregate.csv")
+    write_runs_csv(csv_path, rows, seeds, agg)
+    print(f"Per-run metrics written to {csv_path}")
+    return 0
+
+
 def run_pipeline(args) -> int:
+    if getattr(args, "runs", 1) > 1:
+        return _run_multi(args)
     verbose = not args.quiet
     name = args.pipeline
     if getattr(args, "text_cache", None):
