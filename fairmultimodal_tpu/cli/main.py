@@ -93,6 +93,12 @@ def build_parser(default_pipeline: Optional[str] = None) -> argparse.ArgumentPar
                         "215-224); per-run values land in "
                         "<out_dir>/runs_aggregate.csv")
     p.add_argument("--mimic_dir", default=".")
+    p.add_argument("--use_native", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="data pipeline: C++ streaming aggregator/chunker "
+                        "for the big event tables (auto = use when it "
+                        "builds; on = require; off = pandas). --timing "
+                        "prints the chosen path + rows/sec per table")
     p.add_argument("--data_dir", default=".")
     p.add_argument("--out_dir", default="./outputs")
     p.add_argument("--head", type=int, default=None,
@@ -372,7 +378,9 @@ def run_pipeline(args) -> int:
             tmp = tempfile.mkdtemp(prefix="mimic_syn_")
             write_raw_mimic(tmp, n_subjects=args.synthetic, seed=args.seed)
             args.mimic_dir = tmp
-        run_etl(args.mimic_dir, args.out_dir)
+        use_native = {"auto": None, "on": True, "off": False}[args.use_native]
+        run_etl(args.mimic_dir, args.out_dir, use_native=use_native,
+                timing=getattr(args, "timing", False))
         return 0
 
     s, u = _load_frames(args)

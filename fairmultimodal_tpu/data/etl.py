@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -295,10 +295,11 @@ def _aggregate_native(
     icu_stays: pd.DataFrame,
     itemids,
     agg_func: str,
-) -> Optional[pd.DataFrame]:
+) -> Optional[Tuple[pd.DataFrame, int]]:
     """Native streaming path: per-file long-form aggregation via
     ``native/fastetl`` then a cheap pandas pivot.  Only valid when
-    cross-file re-aggregation is associative (sum) or single-file (mean)."""
+    cross-file re-aggregation is associative (sum) or single-file (mean).
+    Returns (wide frame, rows scanned) or None when unavailable."""
     from fairmultimodal_tpu.data import native
 
     if not native.available():
@@ -310,13 +311,16 @@ def _aggregate_native(
     items = (np.asarray(sorted(itemids), np.int64)
              if itemids else None)
     frames = []
+    rows_scanned = 0
     for f in file_list:
         path = os.path.join(mimic_dir, f)
         if not os.path.exists(path):
             continue
-        o_subj, o_hadm, o_bin, o_item, o_val = native.aggregate_events_native(
+        (o_subj, o_hadm, o_bin, o_item, o_val,
+         n_rows) = native.aggregate_events_native(
             path, subj, hadm, intime, items, window_hours=24.0, bin_hours=2.0,
             agg=agg_func)
+        rows_scanned += n_rows
         frames.append(pd.DataFrame({
             "subject_id": o_subj, "hadm_id": o_hadm, "hour_bin": o_bin,
             "itemid": o_item, "value": o_val}))
@@ -333,7 +337,7 @@ def _aggregate_native(
     agg.columns = ["subject_id", "hadm_id"] + [
         f"{table_name}_t{int(c)}" for c in agg.columns[2:]
     ]
-    return agg
+    return agg, rows_scanned
 
 
 def aggregate_feature_table(
@@ -342,6 +346,7 @@ def aggregate_feature_table(
     filtered_subjects: set,
     icu_stays: pd.DataFrame,
     use_native: Optional[bool] = None,
+    timing_sink: Optional[List[Dict]] = None,
 ) -> Optional[pd.DataFrame]:
     """One feature-set-C table -> wide ``<table>_t<itemid>`` columns
     (00_data.py:200-256). sum for input/output events, mean otherwise.
@@ -350,8 +355,21 @@ def aggregate_feature_table(
     the multi-hundred-million-row tables are scanned in C++ without
     materializing the frame; pandas is the fallback and the semantics oracle
     (tests/test_native.py).  ``prescriptions`` has no itemid column and
-    always uses pandas.
+    always uses pandas.  ``use_native``: None = auto (native when it builds
+    and the table qualifies), True = require it, False = force pandas.
+    ``timing_sink``: list collecting {table, path, rows, seconds} entries
+    for the ``--timing`` report.
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
+
+    def _record(path_kind: str, rows: int):
+        if timing_sink is not None:
+            timing_sink.append({"table": table_name, "path": path_kind,
+                                "rows": int(rows),
+                                "seconds": _time.perf_counter() - t0})
+
     if table_name != "prescriptions" and use_native is not False:
         stays = icu_stays[icu_stays["subject_id"].isin(filtered_subjects)]
         agg_func = "sum" if table_name in ("inputevents", "outputevents") else "mean"
@@ -360,7 +378,9 @@ def aggregate_feature_table(
                 mimic_dir, INPUT_FILES[table_name], table_name, stays,
                 FEATURE_SET_C.get(table_name, []), agg_func)
             if out is not None:
-                return out
+                frame, rows_scanned = out
+                _record("native", rows_scanned)
+                return frame
         except Exception:
             if use_native:
                 raise
@@ -370,6 +390,7 @@ def aggregate_feature_table(
     else:
         df = _read(mimic_dir, files)
     df.columns = df.columns.str.lower()
+    n_raw = len(df)
     if "subject_id" not in df.columns:
         return None
     df = df[df["subject_id"].isin(filtered_subjects)]
@@ -407,6 +428,7 @@ def aggregate_feature_table(
     agg.columns = ["subject_id", "hadm_id"] + [
         f"{table_name}_t{int(c)}" for c in agg.columns[2:]
     ]
+    _record("pandas", n_raw)
     return agg
 
 
@@ -456,7 +478,9 @@ def compute_mortality_30d_post_discharge(df: pd.DataFrame) -> pd.Series:
 
 
 def build_structured(mimic_dir: str, out_dir: str, los_threshold_hours: float = 168.0,
-                     readmission_mode: str = "reference") -> pd.DataFrame:
+                     readmission_mode: str = "reference",
+                     use_native: Optional[bool] = None,
+                     timing_sink: Optional[List[Dict]] = None) -> pd.DataFrame:
     """Base cohort + labels + lab bins + feature set C (00_data.py:259-392)."""
     admissions = _read(mimic_dir, "ADMISSIONS.csv.gz",
                        usecols=["SUBJECT_ID", "HADM_ID", "ADMITTIME", "DISCHTIME",
@@ -525,7 +549,9 @@ def build_structured(mimic_dir: str, out_dir: str, los_threshold_hours: float = 
 
     merged = df.copy()
     for table in INPUT_FILES:
-        feat = aggregate_feature_table(mimic_dir, table, filtered_subjects, stays)
+        feat = aggregate_feature_table(mimic_dir, table, filtered_subjects,
+                                       stays, use_native=use_native,
+                                       timing_sink=timing_sink)
         if feat is not None:
             merged = merged.merge(feat, on=["subject_id", "hadm_id"], how="left")
 
@@ -629,13 +655,39 @@ def build_unstructured(mimic_dir: str, out_dir: str,
 
 
 def run_etl(mimic_dir: str, out_dir: str, los_threshold_hours: float = 168.0,
-            readmission_mode: str = "reference") -> dict:
+            readmission_mode: str = "reference",
+            use_native: Optional[bool] = None,
+            timing: bool = False) -> dict:
     """Full pipeline; returns summary stats (the reference's print block,
-    00_data.py:507-545, as a dict)."""
+    00_data.py:507-545, as a dict).
+
+    ``use_native``: None = auto-select the C++ streaming aggregator/chunker
+    when available, True = require it (raise if it cannot build), False =
+    force the pandas path.  ``timing=True`` prints per-table path + rows/sec
+    lines and adds a ``"timings"`` list to the returned stats.
+    """
+    import time as _time
+
     os.makedirs(out_dir, exist_ok=True)
+    timing_sink: Optional[List[Dict]] = [] if timing else None
+    t0 = _time.perf_counter()
     structured = build_structured(mimic_dir, out_dir, los_threshold_hours,
-                                  readmission_mode=readmission_mode)
-    unstructured = build_unstructured(mimic_dir, out_dir)
+                                  readmission_mode=readmission_mode,
+                                  use_native=use_native,
+                                  timing_sink=timing_sink)
+    t_struct = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    unstructured = build_unstructured(mimic_dir, out_dir,
+                                      use_native=use_native)
+    t_unstruct = _time.perf_counter() - t0
+    if timing and timing_sink is not None:
+        for e in timing_sink:
+            rate = e["rows"] / e["seconds"] if e["seconds"] > 0 else 0.0
+            print(f"[etl timing] {e['table']}: {e['path']} path, "
+                  f"{e['rows']:,} rows in {e['seconds']:.2f} s "
+                  f"({rate / 1e6:.2f}M rows/s)")
+        print(f"[etl timing] structured phase: {t_struct:.1f} s, "
+              f"unstructured phase: {t_unstruct:.1f} s")
 
     common = set(structured["subject_id"]).intersection(set(unstructured["subject_id"]))
     s_common = structured[structured["subject_id"].isin(common)].copy()
@@ -643,7 +695,7 @@ def run_etl(mimic_dir: str, out_dir: str, los_threshold_hours: float = 168.0,
     s_common.to_csv(os.path.join(out_dir, "final_structured_common.csv"), index=False)
     u_common.to_csv(os.path.join(out_dir, "final_unstructured_common.csv"), index=False)
 
-    return {
+    stats = {
         "structured_shape": structured.shape,
         "unstructured_shape": unstructured.shape,
         "n_common": len(common),
@@ -651,3 +703,6 @@ def run_etl(mimic_dir: str, out_dir: str, los_threshold_hours: float = 168.0,
         "common_los_positives": int(s_common["los_binary"].sum()),
         "common_vent_positives": int(s_common["mechanical_ventilation"].sum()),
     }
+    if timing_sink is not None:
+        stats["timings"] = timing_sink
+    return stats

@@ -75,6 +75,11 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.fastetl_size.restype = ctypes.c_int64
     lib.fastetl_size.argtypes = [ctypes.c_void_p]
+    try:
+        lib.fastetl_rows_scanned.restype = ctypes.c_int64
+        lib.fastetl_rows_scanned.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        pass  # stale pre-round-5 .so; rows_scanned reporting degrades to 0
     lib.fastetl_fill.restype = None
     lib.fastetl_fill.argtypes = [
         ctypes.c_void_p,
@@ -217,12 +222,15 @@ def aggregate_events_native(
     window_hours: float = 24.0,
     bin_hours: float = 2.0,
     agg: str = "mean",
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Stream-aggregate one event table.
 
-    Returns (subject_id, hadm_id, hour_bin, itemid, value) arrays, one row per
-    (subject, hadm, bin, itemid) group — the long form of the reference's
-    ``groupby(...).agg(...)`` (00_data.py:249-251); pivot on the caller side.
+    Returns (subject_id, hadm_id, hour_bin, itemid, value, rows_scanned):
+    the first five are arrays with one row per (subject, hadm, bin, itemid)
+    group — the long form of the reference's ``groupby(...).agg(...)``
+    (00_data.py:249-251); pivot on the caller side.  ``rows_scanned`` is the
+    number of data lines streamed (throughput reporting; 0 with a stale
+    pre-round-5 library).
     """
     lib = _load()
     if lib is None:
@@ -247,6 +255,8 @@ def aggregate_events_native(
         raise RuntimeError(f"fastetl: {err.value.decode() or 'unknown error'}")
     try:
         n = lib.fastetl_size(handle)
+        rows_scanned = (int(lib.fastetl_rows_scanned(handle))
+                        if hasattr(lib, "fastetl_rows_scanned") else 0)
         out_subj = np.empty(n, np.int64)
         out_hadm = np.empty(n, np.int64)
         out_bin = np.empty(n, np.int32)
@@ -262,4 +272,4 @@ def aggregate_events_native(
         lib.fastetl_free(handle)
     order = np.lexsort((out_item, out_bin, out_hadm, out_subj))
     return (out_subj[order], out_hadm[order], out_bin[order],
-            out_item[order], out_val[order])
+            out_item[order], out_val[order], rows_scanned)

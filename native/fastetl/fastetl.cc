@@ -162,6 +162,7 @@ struct Handle {
   std::vector<int32_t> bin;
   std::vector<double> value;
   std::string error;
+  int64_t rows_scanned = 0;  // data lines read (throughput reporting)
 };
 
 void set_err(char* errbuf, int errlen, const std::string& msg) {
@@ -271,9 +272,11 @@ void* fastetl_aggregate(const char* path, const int64_t* stay_subj,
   std::unordered_map<AggKey, AggVal, AggKeyHash> agg;
   const double window_secs = window_hours * 3600.0;
   const double bin_secs = bin_hours * 3600.0;
+  int64_t rows_scanned = 0;
 
   while (read_line(&line)) {
     if (line.empty()) continue;
+    ++rows_scanned;
     split_csv(line, &fields);
     int needed = col_subj;
     needed = std::max(needed, col_hadm);
@@ -342,6 +345,7 @@ void* fastetl_aggregate(const char* path, const int64_t* stay_subj,
   gzclose(f);
 
   Handle* h = new Handle();
+  h->rows_scanned = rows_scanned;
   size_t n = agg.size();
   h->subj.reserve(n);
   h->hadm.reserve(n);
@@ -366,6 +370,10 @@ void* fastetl_aggregate(const char* path, const int64_t* stay_subj,
 
 int64_t fastetl_size(void* handle) {
   return (int64_t)((Handle*)handle)->subj.size();
+}
+
+int64_t fastetl_rows_scanned(void* handle) {
+  return ((Handle*)handle)->rows_scanned;
 }
 
 void fastetl_fill(void* handle, int64_t* subj, int64_t* hadm, int32_t* bin,

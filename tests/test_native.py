@@ -87,11 +87,13 @@ def test_aggregate_parity(tmp_path, lib_ok, agg, quoted):
     intime = np.array([(t - epoch).total_seconds() for _, _, t in stays])
     itemids = np.array([100, 200, 300], np.int64)       # drop 400
 
-    o_subj, o_hadm, o_bin, o_item, o_val = native.aggregate_events_native(
+    (o_subj, o_hadm, o_bin, o_item, o_val,
+     rows_scanned) = native.aggregate_events_native(
         path, subj, hadm, intime, itemids, window_hours=24.0, bin_hours=2.0,
         agg=agg)
     ref = _pandas_reference(df, stays, set(itemids.tolist()), agg)
 
+    assert rows_scanned == len(df)
     assert len(o_subj) == len(ref), (len(o_subj), len(ref))
     np.testing.assert_array_equal(o_subj, ref["subject_id"].to_numpy())
     np.testing.assert_array_equal(o_hadm, ref["hadm_id"].to_numpy())
@@ -135,7 +137,8 @@ def test_multi_stay_admission_parity(tmp_path, lib_ok, agg):
     intime = np.array([(t - epoch).total_seconds() for _, _, t in stays])
     itemids = np.array([100, 200, 300, 400], np.int64)
 
-    o_subj, o_hadm, o_bin, o_item, o_val = native.aggregate_events_native(
+    (o_subj, o_hadm, o_bin, o_item, o_val,
+     _rows) = native.aggregate_events_native(
         path, subj, hadm, intime, itemids, window_hours=24.0, bin_hours=2.0,
         agg=agg)
     ref = _pandas_reference(df, stays, set(itemids.tolist()), agg)
