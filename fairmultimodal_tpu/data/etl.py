@@ -510,6 +510,19 @@ def build_structured(mimic_dir: str, out_dir: str, los_threshold_hours: float = 
     df["age_bucket"] = df["age"].apply(categorize_age)
     df["ethnicity_category"] = df["ETHNICITY"].apply(categorize_ethnicity)
     df["insurance_category"] = df["INSURANCE"].apply(categorize_insurance)
+    # Real-data observability: the reference silently routes unexpected
+    # category strings to the catch-all bucket (00_data.py:22-47); report
+    # how many rows took that path so surprises are visible, not silent.
+    from fairmultimodal_tpu.data.validate import count_unmapped
+
+    n_eth = count_unmapped(df["ETHNICITY"], df["ethnicity_category"], "Other")
+    n_ins = count_unmapped(df["INSURANCE"], df["insurance_category"],
+                           "Government")
+    if n_eth:
+        print(f"[etl] {n_eth} rows with unmapped ETHNICITY routed to 'Other'")
+    if n_ins:
+        print(f"[etl] {n_ins} rows with unmapped INSURANCE routed to "
+              f"'Government' (reference catch-all, 00_data.py:35-46)")
     df["gender"] = df["GENDER"].str.lower().apply(
         lambda x: "male" if "m" in x else ("female" if "f" in x else x))
 
@@ -553,6 +566,21 @@ def build_structured(mimic_dir: str, out_dir: str, los_threshold_hours: float = 
                                        stays, use_native=use_native,
                                        timing_sink=timing_sink)
         if feat is not None:
+            # Collapse each table to ONE row per stay before merging.  The
+            # reference left-joins every per-(stay, hour_bin) table onto the
+            # 1-row-per-subject cohort and only collapses at the very end
+            # with groupby(subject).mean() (00_data.py:373-386) — a
+            # Cartesian product of PI_T bins_T rows per stay (up to 12^4;
+            # the dominant cost of its multi-hour 00_data run, and ~100 GB
+            # frames at MIMIC scale).  Because every value of one table is
+            # repeated a UNIFORM number of times (the product of the other
+            # tables' row counts for that stay), the final mean is exactly
+            # the per-stay mean of each table independently, so collapsing
+            # here is a pure performance transformation (float rounding
+            # order aside).  Equivalence pinned by tests/test_data.py::
+            # test_feature_merge_collapse_matches_cartesian.
+            feat = feat.groupby(["subject_id", "hadm_id"],
+                                as_index=False).mean()
             merged = merged.merge(feat, on=["subject_id", "hadm_id"], how="left")
 
     numeric_cols = merged.select_dtypes(include=[np.number]).columns
@@ -668,6 +696,9 @@ def run_etl(mimic_dir: str, out_dir: str, los_threshold_hours: float = 168.0,
     """
     import time as _time
 
+    from fairmultimodal_tpu.data.validate import validate_mimic_dir
+
+    validate_mimic_dir(mimic_dir)   # fail fast, naming file+column problems
     os.makedirs(out_dir, exist_ok=True)
     timing_sink: Optional[List[Dict]] = [] if timing else None
     t0 = _time.perf_counter()

@@ -163,6 +163,10 @@ def assemble_features(
         ``("short_term_mortality", "readmission_within_30d")``).
     """
     label_columns = list(label_columns or LABEL_COLUMNS)
+    from fairmultimodal_tpu.data.validate import validate_common_frames
+
+    validate_common_frames(structured, unstructured,
+                           label_columns=label_columns)
     unstructured = unstructured.drop(
         columns=["short_term_mortality", "los_binary", "mechanical_ventilation",
                  "age", "GENDER", "ETHNICITY", "INSURANCE"],

@@ -21,7 +21,7 @@ from typing import Tuple
 import numpy as np
 import pandas as pd
 
-__all__ = ["make_common_frames", "write_raw_mimic"]
+__all__ = ["make_common_frames", "write_raw_mimic", "write_raw_mimic_scaled"]
 
 _ETHNICITIES = [
     "WHITE", "BLACK/AFRICAN AMERICAN", "HISPANIC OR LATINO", "ASIAN",
@@ -322,3 +322,185 @@ def write_raw_mimic(out_dir: str, n_subjects: int = 40, seed: int = 0) -> None:
                 "TEXT": " ".join(rng.choice(_WORDS, n_words)) + " Dr. Smith [**Name**] 1. item",
             })
     pd.DataFrame(rows).to_csv(f"{out_dir}/NOTEEVENTS.csv.gz", index=False, compression="gzip")
+
+
+def _epoch_to_str(seconds: np.ndarray) -> np.ndarray:
+    """Vectorized 'YYYY-MM-DDTHH:MM:SS' strings from epoch seconds (both the
+    pandas and native ETL timestamp parsers accept the 'T' separator)."""
+    return np.asarray(seconds, "datetime64[s]").astype(str)
+
+
+def write_raw_mimic_scaled(
+    out_dir: str,
+    n_subjects: int = 3000,
+    chartevents_rows: int = 20_000_000,
+    seed: int = 0,
+    chunk_rows: int = 2_000_000,
+    verbose: bool = True,
+) -> dict:
+    """Realistic-VOLUME raw MIMIC-III tables for ETL throughput benchmarking.
+
+    The reference's dominant cost is the 00_data full scans (270M-row
+    CHARTEVENTS with a per-row ``apply``, ``00_data.py:129``); this writer
+    reproduces that shape at configurable scale: ``chartevents_rows`` events
+    over ``n_subjects`` first-ICU-stay subjects (real MIMIC density is
+    ~7k events/subject), LABEVENTS at 1/8 the rows, input/output events at
+    1/40, one long clinical note per subject.  Event tables are generated
+    vectorized and streamed to ``csv.gz`` in ``chunk_rows`` chunks so peak
+    memory stays bounded regardless of target size.  Itemid mix: ~70%
+    feature-set-C chartevents ids, ~10% vent-flag ids (string VALUE), ~20%
+    non-whitelisted ids; ~2% ERROR=1 rows and timestamps U(0, 48h) past
+    INTIME so the 24-h window, whitelist and error filters all do real work.
+
+    Returns a dict of row counts per table.  Used by ``scripts/bench_etl.py``.
+    """
+    import gzip
+
+    from fairmultimodal_tpu.data.etl import FEATURE_SET_C, VENT_ITEMIDS
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    sid = np.arange(1, n_subjects + 1, dtype=np.int64)
+    hadm = sid + 1_000_000
+    icustay = sid + 2_000_000
+
+    base_s = int(pd.Timestamp("2150-01-01").timestamp())
+    intime_s = base_s + rng.integers(0, 300 * 86400, n_subjects)
+    los_h = rng.uniform(26, 400, n_subjects)
+    outtime_s = intime_s + (los_h * 3600).astype(np.int64)
+    age_years = rng.integers(10, 95, n_subjects)
+    dob_s = intime_s - (age_years * 365.25 * 86400).astype(np.int64)
+    died = rng.random(n_subjects) < 0.2
+    death_str = np.where(died, _epoch_to_str(outtime_s + 2 * 86400), "")
+
+    pd.DataFrame({
+        "SUBJECT_ID": sid, "HADM_ID": hadm,
+        "ADMITTIME": _epoch_to_str(intime_s),
+        "DISCHTIME": _epoch_to_str(outtime_s),
+        "DEATHTIME": death_str,
+        "ETHNICITY": rng.choice(_ETHNICITIES, n_subjects),
+        "INSURANCE": rng.choice(_INSURANCES, n_subjects),
+    }).to_csv(f"{out_dir}/ADMISSIONS.csv.gz", index=False, compression="gzip")
+    pd.DataFrame({
+        "SUBJECT_ID": sid, "GENDER": rng.choice(["M", "F"], n_subjects),
+        "DOB": _epoch_to_str(dob_s),
+    }).to_csv(f"{out_dir}/PATIENTS.csv.gz", index=False, compression="gzip")
+    pd.DataFrame({
+        "SUBJECT_ID": sid, "HADM_ID": hadm, "ICUSTAY_ID": icustay,
+        "INTIME": _epoch_to_str(intime_s), "OUTTIME": _epoch_to_str(outtime_s),
+    }).to_csv(f"{out_dir}/ICUSTAYS.csv.gz", index=False, compression="gzip")
+
+    counts = {"ADMISSIONS": n_subjects, "PATIENTS": n_subjects,
+              "ICUSTAYS": n_subjects}
+
+    feat_items = np.asarray(sorted(set(FEATURE_SET_C["chartevents"])), np.int64)
+    vent_items = np.asarray([223849, 467, 720, 445, 218], np.int64)
+    other_items = np.asarray([999001, 999002, 999003], np.int64)
+
+    def stream_events(name, total, make_chunk):
+        written = 0
+        with gzip.open(f"{out_dir}/{name}", "wt", compresslevel=1) as f:
+            first = True
+            while written < total:
+                n = min(chunk_rows, total - written)
+                make_chunk(n).to_csv(f, header=first, index=False)
+                first = False
+                written += n
+                if verbose:
+                    print(f"  {name}: {written:,}/{total:,} rows",
+                          flush=True)
+        return total
+
+    def chartevents_chunk(n):
+        subj_idx = rng.integers(0, n_subjects, n)
+        kind = rng.random(n)
+        items = np.where(
+            kind < 0.70, feat_items[rng.integers(0, len(feat_items), n)],
+            np.where(kind < 0.80,
+                     vent_items[rng.integers(0, len(vent_items), n)],
+                     other_items[rng.integers(0, len(other_items), n)]))
+        t = intime_s[subj_idx] + rng.integers(0, 48 * 3600, n)
+        vals = rng.uniform(40, 180, n).round(1).astype(str)
+        vals = np.where(items == 467, "Ventilator", vals)
+        vals = np.where(items == 223849, "CMV", vals)
+        return pd.DataFrame({
+            "SUBJECT_ID": sid[subj_idx], "HADM_ID": hadm[subj_idx],
+            "ICUSTAY_ID": icustay[subj_idx],
+            "CHARTTIME": _epoch_to_str(t), "ITEMID": items,
+            "VALUE": vals, "VALUENUM": rng.uniform(40, 180, n).round(1),
+            "ERROR": (rng.random(n) < 0.02).astype(int),
+        })
+
+    counts["CHARTEVENTS"] = stream_events(
+        "CHARTEVENTS.csv.gz", chartevents_rows, chartevents_chunk)
+
+    lab_items = np.asarray(sorted(set(FEATURE_SET_C["labevents"])), np.int64)
+
+    def labevents_chunk(n):
+        subj_idx = rng.integers(0, n_subjects, n)
+        t = intime_s[subj_idx] + rng.integers(0, 48 * 3600, n)
+        return pd.DataFrame({
+            "SUBJECT_ID": sid[subj_idx], "HADM_ID": hadm[subj_idx],
+            "CHARTTIME": _epoch_to_str(t),
+            "ITEMID": lab_items[rng.integers(0, len(lab_items), n)],
+            "VALUENUM": rng.uniform(0.5, 40, n).round(2),
+        })
+
+    counts["LABEVENTS"] = stream_events(
+        "LABEVENTS.csv.gz", max(chartevents_rows // 8, 1), labevents_chunk)
+
+    def io_chunk_factory(items, time_col, value_col):
+        items = np.asarray(items, np.int64)
+
+        def make(n):
+            subj_idx = rng.integers(0, n_subjects, n)
+            t = intime_s[subj_idx] + rng.integers(0, 48 * 3600, n)
+            return pd.DataFrame({
+                "SUBJECT_ID": sid[subj_idx], "HADM_ID": hadm[subj_idx],
+                time_col: _epoch_to_str(t),
+                "ITEMID": items[rng.integers(0, len(items), n)],
+                value_col: rng.uniform(1, 500, n).round(1),
+            })
+        return make
+
+    io_rows = max(chartevents_rows // 40, 1)
+    counts["inputevents_cv"] = stream_events(
+        "inputevents_cv.csv.gz", io_rows,
+        io_chunk_factory(FEATURE_SET_C["inputevents"][:24], "STARTTIME",
+                         "AMOUNT"))
+    counts["inputevents_mv"] = stream_events(
+        "inputevents_mv.csv.gz", io_rows,
+        io_chunk_factory(FEATURE_SET_C["inputevents"][24:], "STARTTIME",
+                         "AMOUNT"))
+    counts["OUTPUTEVENTS"] = stream_events(
+        "OUTPUTEVENTS.csv.gz", io_rows,
+        io_chunk_factory(FEATURE_SET_C["outputevents"], "CHARTTIME", "VALUE"))
+
+    pd.DataFrame({
+        "SUBJECT_ID": sid, "HADM_ID": hadm,
+        "STARTDATE": _epoch_to_str(intime_s),
+        "DRUG": rng.choice(["Aspirin", "Metoprolol", "Bisacodyl"], n_subjects),
+    }).to_csv(f"{out_dir}/PRESCRIPTIONS.csv.gz", index=False,
+              compression="gzip")
+    pe_idx = np.arange(0, n_subjects, 3)
+    pd.DataFrame({
+        "ICUSTAY_ID": icustay[pe_idx],
+        "STARTTIME": _epoch_to_str(intime_s[pe_idx] + 30 * 3600),
+        "ITEMID": rng.choice([227194, 225468, 225477], len(pe_idx)),
+    }).to_csv(f"{out_dir}/PROCEDUREEVENTS_MV.csv.gz", index=False,
+              compression="gzip")
+    counts["PRESCRIPTIONS"] = n_subjects
+    counts["PROCEDUREEVENTS_MV"] = len(pe_idx)
+
+    # One long note per subject (real ICU discharge summaries run thousands
+    # of words; exercises the native cleaner/chunker at volume too).
+    n_words = rng.integers(200, 2000, n_subjects)
+    notes = [" ".join(rng.choice(_WORDS, k)) + " Dr. Smith [**Name**] 1. item"
+             for k in n_words]
+    pd.DataFrame({
+        "SUBJECT_ID": sid, "HADM_ID": hadm,
+        "CHARTDATE": _epoch_to_str(((intime_s + 86400) // 86400) * 86400),
+        "TEXT": notes,
+    }).to_csv(f"{out_dir}/NOTEEVENTS.csv.gz", index=False, compression="gzip")
+    counts["NOTEEVENTS"] = n_subjects
+    return counts

@@ -211,3 +211,47 @@ def test_debug_and_profiling_utils():
     stats = throughput(lambda x: x + 1, jnp.ones(4), iters=3, warmup=1,
                        items_per_call=4)
     assert stats["items_per_sec"] > 0
+
+
+def test_feature_merge_collapse_matches_cartesian():
+    """The per-stay collapse before the feature merge (data/etl.py,
+    build_structured) is mean-identical to the reference's Cartesian
+    left-join + final groupby(subject).mean() (00_data.py:373-386): each
+    table's values are repeated a uniform number of times in the product, so
+    the mean is unchanged.  Verified on a fixture with ragged bin counts,
+    NaN bins, and a stay missing from one table entirely."""
+    rng = np.random.default_rng(5)
+    base = pd.DataFrame({
+        "subject_id": [1, 2, 3], "hadm_id": [10, 20, 30],
+        "age": [50, 60, 70], "label": [0, 1, 0],
+    })
+
+    def make_table(name, bins_per_stay):
+        rows = []
+        for (s, h), k in bins_per_stay.items():
+            for b in range(k):
+                rows.append({"subject_id": s, "hadm_id": h,
+                             f"{name}_tA": rng.normal(),
+                             f"{name}_tB": (np.nan if b == 0
+                                            else rng.normal())})
+        return pd.DataFrame(rows)
+
+    t1 = make_table("x", {(1, 10): 3, (2, 20): 1, (3, 30): 5})
+    t2 = make_table("y", {(1, 10): 2, (2, 20): 4})   # subject 3 absent
+
+    # Reference path: Cartesian merges then groupby(subject).mean().
+    cart = base.copy()
+    for t in (t1, t2):
+        cart = cart.merge(t, on=["subject_id", "hadm_id"], how="left")
+    num_cols = cart.select_dtypes("number").columns
+    ref = cart.groupby("subject_id", as_index=False)[list(num_cols)].mean()
+
+    # Rebuild path: collapse per stay first.
+    fast = base.copy()
+    for t in (t1, t2):
+        fast = fast.merge(t.groupby(["subject_id", "hadm_id"],
+                                    as_index=False).mean(),
+                          on=["subject_id", "hadm_id"], how="left")
+    got = fast.groupby("subject_id", as_index=False)[list(num_cols)].mean()
+
+    pd.testing.assert_frame_equal(ref, got, rtol=1e-12, atol=1e-12)
