@@ -204,15 +204,25 @@ class BEHRTLab(nn.Module):
     @nn.compact
     def __call__(self, lab_features, deterministic: bool = True):
         b, L = lab_features.shape
-        x = lab_features[..., None].astype(self.dtype)  # [B, L, 1]
-        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="token_embedding")(x)
+        S = _round_up(L, self.pad_to)
         pos = self.param("pos_embedding", nn.initializers.normal(1.0),
                          (self.lab_token_count, self.hidden_size))
+        # Pad the [B, L] SCALARS (and the pos table) before embedding rather
+        # than the [B, S, H] activation after it: the padded-activation
+        # materialization was 0.66 ms/step of pure HBM writes at bench
+        # geometry (device profile, round 5).  Real-token values and grads
+        # are bit-identical — the embedding is per-position, pad keys are
+        # masked out of attention, per-token ops keep the pad lanes' zero
+        # cotangent to themselves, and the mean still reduces over x[:, :L]
+        # only.  Pad lanes now carry the embedding bias instead of zeros;
+        # nothing downstream reads them.
+        if S != L:
+            lab_features = jnp.pad(lab_features, ((0, 0), (0, S - L)))
+            pos = jnp.pad(pos, ((0, S - L), (0, 0)))
+        x = lab_features[..., None].astype(self.dtype)  # [B, S, 1]
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="token_embedding")(x)
         x = x + pos[None, :, :].astype(self.dtype)
 
-        S = _round_up(L, self.pad_to)
-        if S != L:
-            x = jnp.pad(x, ((0, 0), (0, S - L), (0, 0)))
         mask = (jnp.arange(S) < L)[None, :].astype(jnp.int32)
         mask = jnp.broadcast_to(mask, (b, S))
 
